@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the test star schema (TESTDATA.md).
+  *
+  * All readers are plain parquet scans so Catalyst's column pruning and
+  * filter pushdown reach the file format (check `PushedFilters` /
+  * `ReadSchema` in `.explain("formatted")`). At cluster scale the same
+  * loaders work unchanged against a directory of many files; nothing here
+  * assumes a single file or a single executor.
+  */
+object Tables {
+
+  /** Generic table loader: `{dir}/{name}.parquet`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Events table. The driver's parquet stores `ts` as TIMESTAMP(NANOS),
+    * which Spark's parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
+    * We read nanos as a raw long (`spark.sql.legacy.parquet.nanosAsLong`)
+    * and expose:
+    *   - `ts_us`  long   — event time in microseconds since epoch (exact;
+    *                        all window/bucket math is done on this so a
+    *                        DuckDB oracle, which truncates ns->us, agrees)
+    *   - `ts`     timestamp — microsecond-truncated timestamp (UTC session)
+    * Keeping the arithmetic in integer microseconds (never float seconds)
+    * makes bucketing deterministic across engines and immune to FP error.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** All base tables keyed by name (events via the nanos-safe loader). */
+  def all(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+      .map(n => n -> table(spark, dir, n)).toMap + ("events" -> events(spark, dir))
+}
