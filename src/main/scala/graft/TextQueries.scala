@@ -1,6 +1,125 @@
 package graft
 
-/** Text-analysis suite over `documents` — filled in by graft.functions.TextAnalysis. */
+import org.apache.spark.sql.functions._
+
+import graft.Tables.documents
+import graft.functions.TextAnalysis._
+
+/** Text-analysis suite over `documents`: token statistics, language ID,
+  * quality scoring, exact fingerprinting. Every operator is a per-row
+  * projection (embarrassingly parallel, zero shuffle) except the final
+  * aggregations, whose shuffle width is bounded by group cardinality —
+  * exactly what you want scanning 100 TB of raw text.
+  */
 object TextQueries {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** DuckDB-side marker-count snippet, mirroring TextAnalysis.markerCount. */
+  private def duckMarker(ms: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS BIGINT)"
+
+  private val duckLangCounts: String =
+    graft.functions.TextAnalysis.langMarkers
+      .map { case (lang, ms) => s"${duckMarker(ms)} AS n_$lang" }
+      .mkString(",\n               ")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- Token statistics (token counting: whitespace + BPE-ish) --------
+    QueryDef("t40_token_stats",
+      (s, dir) => documents(s, dir)
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          subwordCount(col("text")).as("n_subwords"),
+          length(col("text")).cast("long").as("n_chars_text"),
+          meanTokenLen(col("text")).as("mean_tok_len"),
+          uniqueRatio(col("text")).as("uniq_ratio"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subwords,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_text,
+               CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS mean_tok_len,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- Language ID: marker-lexicon argmax ------------------------------
+    QueryDef("t41_lang_id",
+      (s, dir) => documents(s, dir)
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, lang,
+               CASE WHEN n_en = m AND m > 0 THEN 'en'
+                    WHEN n_es = m AND m > 0 THEN 'es'
+                    WHEN n_de = m AND m > 0 THEN 'de'
+                    WHEN n_fr = m AND m > 0 THEN 'fr'
+                    ELSE 'unknown' END AS lang_pred
+        FROM (SELECT doc_id, lang, n_en, n_es, n_de, n_fr,
+                     GREATEST(n_en, n_es, n_de, n_fr) AS m
+              FROM (SELECT doc_id, lang,
+               $duckLangCounts
+                    FROM documents))
+        ORDER BY doc_id""")),
+
+    // ---- Language-ID agreement report (aggregated confusion) ------------
+    QueryDef("t42_lang_agreement",
+      (s, dir) => documents(s, dir)
+        .select(col("lang"), langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred"),
+      Some(s"""
+        SELECT lang,
+               CASE WHEN n_en = m AND m > 0 THEN 'en'
+                    WHEN n_es = m AND m > 0 THEN 'es'
+                    WHEN n_de = m AND m > 0 THEN 'de'
+                    WHEN n_fr = m AND m > 0 THEN 'fr'
+                    ELSE 'unknown' END AS lang_pred,
+               COUNT(*) AS n
+        FROM (SELECT lang, n_en, n_es, n_de, n_fr,
+                     GREATEST(n_en, n_es, n_de, n_fr) AS m
+              FROM (SELECT lang,
+               $duckLangCounts
+                    FROM documents))
+        GROUP BY lang, lang_pred ORDER BY lang, lang_pred""")),
+
+    // ---- Quality scoring + keep/drop decision ----------------------------
+    QueryDef("t43_quality_score",
+      (s, dir) => documents(s, dir)
+        .select(
+          col("doc_id"),
+          stopwordRatio(col("text")).as("stop_ratio"),
+          qualityScore(col("text")).as("quality"),
+          when(qualityScore(col("text")) >= 0.5, "keep").otherwise("drop").as("decision"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, stop_ratio, quality,
+               CASE WHEN quality >= 0.5 THEN 'keep' ELSE 'drop' END AS decision
+        FROM (
+          SELECT doc_id,
+                 CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT)
+                   / CAST(CAST(len(toks) AS BIGINT) AS DOUBLE) AS stop_ratio,
+                 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                 + 0.3 * (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT)
+                          / CAST(CAST(len(toks) AS BIGINT) AS DOUBLE))
+                 + 0.3 * ((CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(toks)) / 10.0)
+                   AS quality
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
+        ORDER BY doc_id""")),
+
+    // ---- Exact fingerprint + per-fingerprint keeper ----------------------
+    QueryDef("t44_fingerprint",
+      (s, dir) => documents(s, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper_doc_id"))
+        .orderBy("fp"),
+      Some("""
+        SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
+               COUNT(*) AS n_dups, MIN(doc_id) AS keeper_doc_id
+        FROM documents GROUP BY fp ORDER BY fp""")))
 }
