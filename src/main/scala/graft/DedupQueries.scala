@@ -1,6 +1,196 @@
 package graft
 
-/** Dedup family over `documents` — exact, MinHash-LSH, SimHash, n-gram Jaccard. */
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{documents, embeddings}
+import graft.functions.Similarity._
+
+/** Deduplication family over `documents` / `embeddings` — the core
+  * LLM-training-data operators:
+  *
+  *   - d50 exact dedup        (content-hash groupBy)
+  *   - d51 MinHash + LSH      (shingle -> K minhashes -> band -> band-join
+  *                             -> exact-Jaccard verify)
+  *   - d52 SimHash            (per-token md5 votes -> 16-bit fingerprint)
+  *   - d53 blocked n-gram Jaccard (length-bucket blocking -> pairwise)
+  *   - d54 embedding near-dup (quantized-integer cosine, threshold pairs)
+  *
+  * Scale analysis (the reason these shapes were chosen):
+  * d51/d53 never enumerate all pairs — candidates come from equality joins
+  * on band keys / blocks, so the shuffle is O(docs x bands) + O(candidate
+  * pairs). d54's all-pairs form is the correctness baseline for the
+  * LSH-bucketed ANN in SimilarityQueries (the 100 TB path). Everything is
+  * md5-deterministic: a DuckDB oracle replays the full pipeline exactly,
+  * including which candidate pairs the banding produces.
+  */
 object DedupQueries {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  private val K = 12      // minhash functions
+  private val BANDS = 6   // bands of 2 rows each => s-curve threshold ~0.6
+
+  /** Distinct word-n-gram shingle sets: (doc_id, shingle). */
+  private def shingleSets(s: SparkSession, dir: String, n: Int): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(shingles(col("w"), n)).as("shingle"))
+      .distinct()
+
+  /** Exact Jaccard over candidate pairs via shingle-equality join. */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of shingleSets/jaccardOf, parameterized by CTE text. */
+  private def duckJaccardTail(threshold: Double): String = s"""
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    i AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+          FROM cand JOIN sh a ON a.doc_id = doc_a
+                    JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+          GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM i JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold
+    ORDER BY doc_a, doc_b"""
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- d50: exact dedup by content hash --------------------------------
+    QueryDef("d50_exact_dedup",
+      (s, dir) => documents(s, dir)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id"),
+      Some("""
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY doc_id""")),
+
+    // ---- d51: MinHash + LSH banding + exact verify ------------------------
+    QueryDef("d51_minhash_lsh",
+      (s, dir) => {
+        val sh = shingleSets(s, dir, 3)
+        val sig = sh.groupBy("doc_id")
+          .agg(minhashAgg(col("shingle"), 0).as("s0"),
+               (1 until K).map(i => minhashAgg(col("shingle"), i).as(s"s$i")): _*)
+        val bandCols = (0 until BANDS).map { b =>
+          struct(lit(b).as("band_id"),
+                 bandKey(Seq(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bkey"))
+        }
+        val bands = sig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+          .select(col("doc_id"), col("bd.band_id").as("band_id"), col("bd.bkey").as("bkey"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        jaccardOf(cand, sh, 0.8)
+      },
+      Some {
+        val sigCols = (0 until K).map(i => s"MIN(md5('$i|' || shingle)) AS s$i").mkString(", ")
+        val bandIds = (0 until BANDS).mkString("[", ", ", "]")
+        val bandKeys = (0 until BANDS)
+          .map(b => s"md5(s${2 * b} || '|' || s${2 * b + 1})").mkString("[", ", ", "]")
+        s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, shingle
+               FROM (SELECT doc_id, unnest(${duckShingles(3)}) AS shingle
+                     FROM t WHERE len(w) >= 3)),
+        sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest($bandIds) AS band_id, unnest($bandKeys) AS bkey FROM sig),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bands x JOIN bands y
+                 ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        ${duckJaccardTail(0.8)}"""
+      }),
+
+    // ---- d52: SimHash fingerprint (16-bit, md5-vote construction) --------
+    QueryDef("d52_simhash",
+      (s, dir) => {
+        val tok = documents(s, dir)
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val votes = (0 until 16).map(b => sum(simhashVote(col("tok"), b)).as(s"v$b"))
+        tok.groupBy("doc_id")
+          .agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"),
+                  simhashFromVotes((0 until 16).map(b => col(s"v$b"))).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val votes = (0 until 16).map { b =>
+          s"SUM((strpos('0123456789abcdef', substr(md5(tok), ${b + 1}, 1)) - 1) % 2 * 2 - 1) AS v$b"
+        }.mkString(", ")
+        val bits = (0 until 16)
+          .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")
+        s"""
+        WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
+      }),
+
+    // ---- d53: blocked n-gram Jaccard (bigram shingles, length blocking) --
+    QueryDef("d53_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingleSets(s, dir, 2)
+        val blocks = documents(s, dir)
+          .select(col("doc_id"), expr("size(split(text, ' ')) div 8").as("bucket"))
+        val cand = blocks.as("x").join(blocks.as("y"),
+            col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        jaccardOf(cand, sh, 0.5)
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, shingle
+               FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS shingle
+                     FROM t WHERE len(w) >= 2)),
+        blocks AS (SELECT doc_id, len(w) // 8 AS bucket FROM t),
+        cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM blocks x JOIN blocks y
+                 ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        ${duckJaccardTail(0.5)}""")),
+
+    // ---- d54: embedding near-dup pairs (quantized-exact cosine) ----------
+    QueryDef("d54_embedding_neardup",
+      (s, dir) => {
+        val e = embeddings(s, dir)
+          .select(col("vec_id"), quantize(col("embedding")).as("q"))
+          .withColumn("nrm", qdot(col("q"), col("q")))
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cosine",
+            qcosine(qdot(col("a.q"), col("b.q")), col("a.nrm"), col("b.nrm")))
+          .filter(col("cosine") >= 0.45)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""
+        WITH q AS (SELECT vec_id,
+                          list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+                   FROM embeddings),
+        n AS (SELECT vec_id, q,
+                     CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i])) AS BIGINT) AS nrm
+              FROM q)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+                 / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+                 / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.45
+        ORDER BY vec_a, vec_b""")))
 }
