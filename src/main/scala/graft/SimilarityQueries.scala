@@ -1,6 +1,154 @@
 package graft
 
-/** Similarity search over `embeddings` — brute-force and LSH-bucketed ANN. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.embeddings
+import graft.expressions.QCosine
+import graft.functions.Planes
+import graft.functions.Similarity._
+
+/** Similarity search over `embeddings`:
+  *
+  *   - s60 brute-force cosine top-k  (declarative higher-order functions)
+  *   - s61 sign-LSH bucketed ANN     (the 100 TB path: equality join on
+  *                                    hyperplane-sign buckets, then exact
+  *                                    re-rank of candidates only)
+  *   - s62 per-label centroids       (the IVF "training" step)
+  *   - s63 brute-force via the QCosine codegen Expression (same semantics
+  *                                    as s60, fused-kernel physical path)
+  *
+  * All cosine math runs on quantized integer vectors (Similarity.quantize)
+  * so results are exact and the DuckDB oracles replay them bit-for-bit.
+  * The LSH hyperplanes are md5-derived integers embedded as literals in
+  * both plans — no RNG, reproducible on any engine.
+  */
 object SimilarityQueries {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  private val NPLANES = 8
+  private val DIMS = 64
+  private val NQUERIES = 20
+
+  /** (vec_id, q: array<long>, nrm: long) */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+      .withColumn("nrm", qdot(col("q"), col("q")))
+
+  private val duckQuantized = """
+        q AS (SELECT vec_id, label,
+                     list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings),
+        n AS (SELECT vec_id, label, q,
+                     CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i])) AS BIGINT) AS nrm
+              FROM q)"""
+
+  private val duckCos =
+    """CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+                 / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))"""
+
+  private def topkSql(candJoin: String, k: Int): String = s"""
+        WITH $duckQuantized,
+        p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     $duckCos AS cosine
+              FROM n a JOIN n b ON $candJoin)
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM p)
+        WHERE rank <= $k
+        ORDER BY query_id, rank"""
+
+  /** Shared Spark top-k-per-query over a candidate pair frame. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- s60: brute-force top-5 for a query set (HOF path) --------------
+    QueryDef("s60_ann_bruteforce",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        val qs = e.filter(col("vec_id") < NQUERIES)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
+        val pairs = broadcast(qs)
+          .join(e, col("vec_id") =!= col("query_id"))
+          .withColumn("cosine", qcosine(qdot(col("qq"), col("q")), col("qn"), col("nrm")))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+        rankTopK(pairs, 5)
+      },
+      Some(topkSql(s"a.vec_id < $NQUERIES AND b.vec_id <> a.vec_id", 5))),
+
+    // ---- s61: sign-LSH bucketed ANN (equality join on bucket) -----------
+    QueryDef("s61_ann_lsh",
+      (s, dir) => {
+        val pl = Planes.planes(NPLANES, DIMS)
+        val e = quantized(s, dir)
+        val bucketCol = pl.zipWithIndex.map { case (cs, p) =>
+          when(qdot(typedlit(cs), col("q")) > 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val b = e.withColumn("bucket", bucketCol)
+        val pairs = b.as("a").join(b.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+          .withColumn("cosine",
+            qcosine(qdot(col("a.q"), col("b.q")), col("a.nrm"), col("b.nrm")))
+          .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"), col("cosine"))
+        rankTopK(pairs, 3)
+      },
+      Some {
+        val pl = Planes.planes(NPLANES, DIMS)
+        val bucketExpr = pl.zipWithIndex.map { case (cs, p) =>
+          val lst = cs.mkString("[", ", ", "]")
+          s"(CASE WHEN list_sum(list_transform(range(1, len(q) + 1), i -> ($lst)[i] * q[i])) > 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+        WITH $duckQuantized,
+        bk AS (SELECT vec_id, q, nrm, CAST($bucketExpr AS BIGINT) AS bucket FROM n),
+        p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     $duckCos AS cosine
+              FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id)
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM p)
+        WHERE rank <= 3
+        ORDER BY query_id, rank"""
+      }),
+
+    // ---- s62: per-label centroids of quantized embeddings (IVF step) ----
+    QueryDef("s62_label_centroids",
+      (s, dir) => quantized(s, dir)
+        .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim_idx"))
+        .agg(count(lit(1)).as("n"),
+             (sum(col("v")).cast("double") / count(lit(1))).as("mean_q"))
+        .orderBy("label", "dim_idx"),
+      Some(s"""
+        WITH $duckQuantized,
+        x AS (SELECT label, unnest(range(1, len(q) + 1)) AS dim_idx, unnest(q) AS v FROM n)
+        SELECT label, dim_idx, COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_q
+        FROM x GROUP BY label, dim_idx ORDER BY label, dim_idx""")),
+
+    // ---- s63: brute-force top-5 via the QCosine codegen Expression ------
+    QueryDef("s63_ann_codegen",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        val qs = e.filter(col("vec_id") < NQUERIES)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"))
+        val pairs = broadcast(qs)
+          .join(e, col("vec_id") =!= col("query_id"))
+          .withColumn("cosine", QCosine(col("qq"), col("q")))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+        rankTopK(pairs, 5)
+      },
+      Some(topkSql(s"a.vec_id < $NQUERIES AND b.vec_id <> a.vec_id", 5))))
 }
