@@ -84,6 +84,7 @@ object Relational {
     */
   def semiJoin(child: DataFrame, parent: DataFrame, keys: Seq[String]): DataFrame =
     child.join(parent, keys, "left_semi")
+      .select(child.columns.map(col).toIndexedSeq: _*)
 
   /** Exact decimal sum of a double column, returned as double.
     *

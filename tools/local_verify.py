@@ -37,7 +37,8 @@ def main(sf_dir: str, out_dir: str) -> int:
 
     n_pass = n_fail = 0
     for name in sorted(oracles):
-        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        files = (glob.glob(os.path.join(out_dir, name + ".parquet", "*.parquet"))
+                 or glob.glob(os.path.join(out_dir, name, "*.parquet")))
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
