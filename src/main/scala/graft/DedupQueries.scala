@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{documents, embeddings}
+import graft.expressions.QCosine
 import graft.functions.Similarity._
 
 /** Deduplication family over `documents` / `embeddings` — the core
@@ -29,7 +30,10 @@ object DedupQueries {
   private val K = 12      // minhash functions
   private val BANDS = 6   // bands of 2 rows each => s-curve threshold ~0.6
 
-  /** Distinct word-n-gram shingle sets: (doc_id, shingle). */
+  /** Distinct word-n-gram shingle sets: (doc_id, shingle). Not persisted:
+    * the repeated uses are identical subtrees, so ReuseExchange already
+    * shares the distinct's shuffle output; an explicit cache only adds a
+    * materialization barrier (measured slower at sf0.1). */
   private def shingleSets(s: SparkSession, dir: String, n: Int): DataFrame =
     documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -168,12 +172,15 @@ object DedupQueries {
     // ---- d54: embedding near-dup pairs (quantized-exact cosine) ----------
     QueryDef("d54_embedding_neardup",
       (s, dir) => {
+        // All-pairs correctness baseline for the LSH path (s61). The
+        // per-pair kernel is the codegen'd QCosine expression — same IEEE
+        // result as the declarative qdot/qcosine form (see SimilaritySpec
+        // bit-for-bit test) but a fused primitive loop instead of
+        // interpreted aggregate(zip_with(...)) per pair.
         val e = embeddings(s, dir)
           .select(col("vec_id"), quantize(col("embedding")).as("q"))
-          .withColumn("nrm", qdot(col("q"), col("q")))
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cosine",
-            qcosine(qdot(col("a.q"), col("b.q")), col("a.nrm"), col("b.nrm")))
+          .withColumn("cosine", QCosine(col("a.q"), col("b.q")))
           .filter(col("cosine") >= 0.45)
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
           .orderBy("vec_a", "vec_b")
