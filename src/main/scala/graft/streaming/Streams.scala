@@ -1,0 +1,175 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the event schema — the streaming
+  * twins of the batch queries in [[graft.EventQueries]] (q30/q31/q34 use
+  * the same epoch-aligned bucketing, so a streaming job's output can be
+  * diffed against the batch result on the same data).
+  *
+  * The reference pipeline is batch-only (SURVEY.md §2.9: no streams in
+  * reynaldyAl/BigData06); this module is the north-star streaming
+  * extension. Design choices, stated because the reference has none to
+  * copy:
+  *
+  *   - **Event time, not arrival time.** Every aggregation keys on the
+  *     `ts` column with an explicit watermark; late events beyond the
+  *     watermark are dropped (counted nowhere), the standard documented
+  *     Spark semantic.
+  *   - **Epoch-aligned windows.** `window()`/`session_window()` align to
+  *     the Unix epoch, identical to the batch `ts_us div N` bucketing.
+  *   - **State is bounded.** Watermarks bound window state; the custom
+  *     sessionizer uses event-time timeout so state for an idle key is
+  *     freed once the watermark passes its gap. At 1000 executors state
+  *     is per-key-partitioned by the shuffle on `user_id` — no broadcast,
+  *     no driver state.
+  */
+object Streams {
+
+  /** The event schema as streamed (ts is a proper timestamp; the batch
+    * testdata's TIMESTAMP(NANOS) quirk is a parquet-file artifact handled
+    * in [[graft.Tables.events]]). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source: picks up parquet files as they land in
+    * `dir`. `maxFilesPerTrigger` bounds per-batch work (backpressure). */
+  def eventFileStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling event-time windows per event type: count + value sum.
+    * Epoch-aligned like the batch q30 (`ts_us div 600e6`). */
+  def tumbling(events: DataFrame, window: String = "10 minutes",
+               watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window)
+                 .as("w"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+              col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding windows (q34's explode-twin, expressed natively): every event
+    * lands in window/slide overlapping buckets. */
+  def sliding(events: DataFrame, window: String = "15 minutes",
+              slide: String = "5 minutes",
+              watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide).as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+              col("n"), col("total_value"))
+
+  /** Session windows per user via the built-in session_window (gap-merged
+    * by the engine; the declarative path — prefer this over custom state
+    * when plain per-session aggregates suffice). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+              unix_timestamp(col("w.start")).as("session_start"),
+              unix_timestamp(col("w.end")).as("session_end"),
+              col("n_events"), col("total_value"))
+
+  // ---- Custom state: explicit sessionizer --------------------------------
+
+  /** Input row for the stateful sessionizer. */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** Open-session state kept per user between micro-batches. */
+  case class SessionState(start: Long, last: Long, nEvents: Long, total: Double)
+
+  /** A closed session, emitted once the watermark passes last+gap. */
+  case class ClosedSession(user_id: Long, session_start: Long,
+                           session_end: Long, n_events: Long, total_value: Double)
+
+  /** Sessionize with `flatMapGroupsWithState` — the custom-state path for
+    * semantics session_window can't express (here: emit exactly one row
+    * per CLOSED session, never partials; extendable to per-session
+    * sequences, funnels, abandoned-cart logic...).
+    *
+    * Gap semantics match batch q31: a new session starts when
+    * ts - prev_ts > gap (strict), in integer microseconds. State per key
+    * is O(1); event-time timeout frees idle keys.
+    */
+  def sessionize(events: Dataset[Event], gapUs: Long = 1800000000L)
+                (implicit spark: SparkSession): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+          if (state.hasTimedOut) {
+            // Watermark passed last+gap with no new events: close and emit.
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.start / 1000000L,
+              s.last / 1000000L, s.nEvents, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => us(e.ts))
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.last > gapUs =>
+                  closed ::= ClosedSession(userId, s.start / 1000000L,
+                    s.last / 1000000L, s.nEvents, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.nEvents + 1L, s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Free state once the watermark passes the session gap.
+              state.setTimeoutTimestamp(s.last / 1000L + gapUs / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  // ---- Sinks --------------------------------------------------------------
+
+  /** Partitioned-parquet streaming sink (S6's production form): exactly-once
+    * per micro-batch via the checkpoint, partitioned by event date so a
+    * 100 TB-scale consumer prunes by day. */
+  def toPartitionedParquet(df: DataFrame, path: String,
+                           checkpoint: String): StreamingQuery =
+    df.withColumn("event_date", to_date(timestamp_seconds(col("bucket_start"))))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("event_date")
+      .outputMode(OutputMode.Append())
+      .start()
+}
