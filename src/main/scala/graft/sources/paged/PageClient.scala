@@ -1,0 +1,116 @@
+package graft.sources.paged
+
+import scala.io.Source
+
+/** Transport abstraction for [[PagedSource]] — the shape of the
+  * reference's REST layer (S1/S2/S3/S5, SURVEY.md §2.1) without the
+  * network. A production client would issue HTTP GETs; the contract is
+  * identical: server-side pagination, predicate + field projection
+  * parameters, a cheap `total`, and batched multi-gets.
+  */
+trait PageClient {
+
+  /** Total rows the endpoint reports (REST APIs return `total` with the
+    * first page). */
+  def total(): Long
+
+  /** S4: fetch rows [offset, offset+limit), already filtered by `market`
+    * (F3) and projected to `fields` in endpoint order (P8). */
+  def fetchPage(offset: Long, limit: Int, market: Option[String],
+                fields: Array[String]): Seq[Array[String]]
+
+  /** S5: batched multi-get by id (the `/tracks?ids=a,b,c` shape with the
+    * endpoint's max batch size applied by the caller). */
+  def fetchByIds(ids: Seq[String], fields: Array[String]): Seq[Array[String]]
+}
+
+/** File-backed client: each line is `id|name|popularity|market`. Stands in
+  * for the remote endpoint in this no-egress environment; everything above
+  * it (partition planning, pushdown, retry) is production-shaped. */
+class LineFileClient(path: String) extends PageClient {
+
+  private val columns = Array("id", "name", "popularity", "market")
+
+  private def readAll(): Seq[Array[String]] = {
+    val src = Source.fromFile(path)
+    try src.getLines().map(_.split('|')).toList
+    finally src.close()
+  }
+
+  override def total(): Long = readAll().size.toLong
+
+  override def fetchPage(offset: Long, limit: Int, market: Option[String],
+                         fields: Array[String]): Seq[Array[String]] = {
+    val filtered = market match {
+      case Some(m) => readAll().filter(_(3) == m)
+      case None => readAll()
+    }
+    val idx = fields.map(f => columns.indexOf(f))
+    filtered.slice(offset.toInt, offset.toInt + limit).map(r => idx.map(r))
+  }
+
+  override def fetchByIds(ids: Seq[String],
+                          fields: Array[String]): Seq[Array[String]] = {
+    val want = ids.toSet
+    val idx = fields.map(f => columns.indexOf(f))
+    readAll().filter(r => want(r(0))).map(r => idx.map(r))
+  }
+}
+
+/** S2: retry-on-failure with the reference's re-auth semantics
+  * (401 → refresh token → retry, 01_TestingPy/Spotify_API.py:54-57;
+  * plain errors → bounded retries). Token state is per-executor — no
+  * driver round-trip per request.
+  */
+class RetryingClient(inner: PageClient, maxRetries: Int = 3,
+                     auth: TokenProvider = new TokenProvider) extends PageClient {
+
+  private def withRetry[T](f: => T): T = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt <= maxRetries) {
+      try {
+        auth.token // S1: ensure a live token before each call
+        return f
+      } catch {
+        case e: UnauthorizedException =>
+          auth.invalidate(); last = e; attempt += 1
+        case e: java.io.IOException =>
+          last = e; attempt += 1
+      }
+    }
+    throw last
+  }
+
+  override def total(): Long = withRetry(inner.total())
+  override def fetchPage(offset: Long, limit: Int, market: Option[String],
+                         fields: Array[String]): Seq[Array[String]] =
+    withRetry(inner.fetchPage(offset, limit, market, fields))
+  override def fetchByIds(ids: Seq[String],
+                          fields: Array[String]): Seq[Array[String]] =
+    withRetry(inner.fetchByIds(ids, fields))
+}
+
+final class UnauthorizedException extends RuntimeException("401")
+
+/** S1: client-credentials token cache with expiry — the reference's
+  * `get_token` (01_TestingPy/Spotify_API.py:16-40) minus the HTTP call.
+  * Thread-safe: one token per executor JVM, refreshed on expiry or 401. */
+class TokenProvider(ttlMs: Long = 3600000L) {
+  @volatile private var cached: Option[(String, Long)] = None
+
+  /** A live bearer token, refreshing if absent or expired. */
+  def token: String = synchronized {
+    val now = System.currentTimeMillis()
+    cached match {
+      case Some((t, exp)) if exp > now => t
+      case _ =>
+        val t = s"token-${now}" // stub mint; production: POST /api/token
+        cached = Some((t, now + ttlMs))
+        t
+    }
+  }
+
+  /** Drop the cached token (called on 401). */
+  def invalidate(): Unit = synchronized { cached = None }
+}
