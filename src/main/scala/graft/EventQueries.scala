@@ -95,6 +95,39 @@ object EventQueries {
                CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         FROM events ORDER BY event_id""")),
 
+    // ---- As-of join (attribution): latest click at-or-before each
+    //      purchase, per user. The classic time-series operator Spark has
+    //      no primitive for — expressed as a single-pass running
+    //      last-non-null over the unioned event stream: one shuffle on
+    //      user_id, no self-join, no range explosion. At 100 TB this beats
+    //      any join formulation (the state per user is one value). --------
+    QueryDef("q35_asof_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .withColumn("click_us",
+            last(when(col("event_type") === "click", col("ts_us")),
+                 ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+                  col("ts_us").as("purchase_us"), col("click_us"),
+                  (col("ts_us") - col("click_us")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, purchase_us, click_us,
+               purchase_us - click_us AS gap_us
+        FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS purchase_us,
+                     LAST_VALUE(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS click_us
+              FROM events)
+        WHERE event_type = 'purchase'
+        ORDER BY event_id""")),
+
     // ---- Sliding windows via explode (streaming sliding-window twin):
     //      each event contributes to 3 overlapping 15-min windows ----------
     QueryDef("q34_sliding_window",

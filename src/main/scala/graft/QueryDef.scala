@@ -19,7 +19,8 @@ object QueryRegistry {
   /** All query suites, in presentation order. */
   def defs: Seq[QueryDef] =
     RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ MultimodalQueries.defs ++ EventQueries.defs
+      SimilarityQueries.defs ++ MultimodalQueries.defs ++ EventQueries.defs ++
+      SamplingQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.run).toMap

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.documents
+
+/** Deterministic sampling operators — training-data pipeline staples
+  * (carve out eval sets, subsample for ablations) that must be
+  * **reproducible across engines and re-runs**, which rules out
+  * `df.sample()` (partition-order dependent). Both samplers key on
+  * md5(doc_id), so any engine — Spark at 100 TB or DuckDB over one file —
+  * selects the identical row set.
+  *
+  * Scale: s70 is TakeOrderedAndProject (per-partition k-heap, O(k) driver
+  * merge — no full sort); s71 is a pure map-side filter with no shuffle at
+  * all, and composes with parquet scans of any width.
+  */
+object SamplingQueries {
+
+  private def h(prefix: String) =
+    md5(concat(lit(prefix), col("doc_id").cast("string")))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- s70: fixed-size deterministic sample (top-k by hash) ------------
+    QueryDef("s70_hash_sample",
+      (s, dir) => documents(s, dir)
+        .orderBy(h("sample|"), col("doc_id"))
+        .limit(200)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source FROM documents
+          ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 200)
+        ORDER BY doc_id""")),
+
+    // ---- s71: rate-based deterministic Bernoulli sample (hash cutoff) ----
+    // P(select) = 0x2000/0x10000 = 12.5%, decided per row with no shuffle.
+    QueryDef("s71_bernoulli_sample",
+      (s, dir) => documents(s, dir)
+        .filter(conv(substring(h("bern|"), 1, 4), 16, 10).cast("long") < 8192L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang"),
+      Some("""
+        SELECT lang, COUNT(*) AS n_sampled FROM documents
+        WHERE (strpos('0123456789abcdef', substr(md5('bern|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5('bern|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5('bern|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5('bern|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) < 8192
+        GROUP BY lang ORDER BY lang""")))
+}
