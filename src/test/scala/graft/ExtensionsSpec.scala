@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extensions.GraftExtensions
+import graft.expressions.QCosine
+import graft.functions.Similarity._
+
+/** SQL-surface registration via SparkSessionExtensions (own session —
+  * extensions bind at session construction). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate returns any already-active session (extensions would be
+  // silently ignored when other suites ran first in this JVM) — clear the
+  // active/default handles so a NEW session is built on the shared
+  // SparkContext with the extensions applied.
+  private lazy val spark: SparkSession = {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // restore the shared session as default for suites that run after us
+    prior.foreach(SparkSession.setDefaultSession)
+    s
+  }
+
+  test("qcosine is callable from SQL and matches the Column API") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(3L, 2L, 1L)),
+      (Array(5L, 0L), Array(0L, 5L))
+    ).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT qcosine(a, b) AS c FROM vecs")
+      .as[Double].collect().toSeq
+    val viaCol = df.select(QCosine($"a", $"b").as("c")).as[Double].collect().toSeq
+    assert(viaSql === viaCol)
+    assert(viaSql(1) === 0.0)
+  }
+
+  test("qcosine SQL arity is validated") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT qcosine(array(1L)) AS c").collect()
+    }
+    assert(e.getMessage.contains("2 arguments") ||
+           e.getMessage.toLowerCase.contains("qcosine"))
+  }
+}
