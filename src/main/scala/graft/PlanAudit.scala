@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan hygiene audit: prints, per query, the physical-plan features that
+  * matter at scale — parquet filter pushdown, column-pruned read schemas,
+  * join strategies, whole-stage-codegen coverage. Run after changing any
+  * query; the point is to catch a plan regression (a lost pushdown, an
+  * accidental nested-loop join) before it costs 100x at cluster scale.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      // drive THIS query's own execution (count() would plan a different
+      // query) so AQE finalizes and codegen stages appear in the string
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val pushed = "PushedFilters: \\[[^\\]]+\\]".r
+        .findAllIn(plan).toSeq.filterNot(_.contains("[]")).distinct
+      val reads = "ReadSchema: [^\\n]+".r.findAllIn(plan).toSeq.distinct
+      val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
+        "BroadcastNestedLoopJoin", "ShuffledHashJoin", "CartesianProduct")
+        .filter(plan.contains)
+      // codegen stages print as `*(n)` operator prefixes in plan strings
+      val codegen = "\\*\\(\\d+\\)".r.findAllIn(plan).toSeq.distinct.size
+      println(s"== $name")
+      pushed.foreach(p => println(s"   $p"))
+      reads.foreach(r => println(s"   ${r.take(120)}"))
+      if (joins.nonEmpty) println(s"   joins: ${joins.mkString(", ")}")
+      println(s"   codegen spans: $codegen")
+      if (plan.contains("CartesianProduct"))
+        println("   !!! CARTESIAN PRODUCT")
+    }
+    spark.stop()
+  }
+}
