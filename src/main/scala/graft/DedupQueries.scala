@@ -29,6 +29,7 @@ object DedupQueries {
 
   private val K = 12      // minhash functions
   private val BANDS = 6   // bands of 2 rows each => s-curve threshold ~0.6
+  private val P = 4294967311L // prime > 2^32 for the universal-hash family
 
   /** Distinct word-n-gram shingle sets: (doc_id, shingle). Not persisted:
     * the repeated uses are identical subtrees, so ReuseExchange already
@@ -37,6 +38,11 @@ object DedupQueries {
   private def shingleSets(s: SparkSession, dir: String, n: Int): DataFrame =
     documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // Spread the narrow scan across cores BEFORE the ~50x shingle
+      // explosion: one cheap shuffle of the raw text balances the heavy
+      // per-row work. Matters whenever input splits < cores (single-file
+      // testdata; skewed file sizes at cluster scale).
+      .repartition(col("doc_id"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(shingles(col("w"), n)).as("shingle"))
       .distinct()
@@ -45,6 +51,10 @@ object DedupQueries {
   private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cand
+      // Candidate pairs can be produced by a single task (broadcast
+      // block-join over a narrow scan); spread them before the expansion
+      // join below multiplies each pair by |shingles(doc_a)|.
+      .repartition(col("doc_a"), col("doc_b"))
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
@@ -83,12 +93,36 @@ object DedupQueries {
         FROM documents GROUP BY md5(text) ORDER BY doc_id""")),
 
     // ---- d51: MinHash + LSH banding + exact verify ------------------------
+    // Map-side signatures: the per-doc shingle SET stays an array column,
+    // so the K minhash values are array_min over a transform — computed in
+    // one pass per row with NO explode/distinct/groupBy shuffle at all.
+    // Band self-join (equality on band key) produces candidates; exact
+    // Jaccard verification intersects md5-hashed long arrays per pair
+    // with both dimension sides broadcast (same pattern as d53). Total
+    // shuffle: the band join + candidate repartition — both bounded by
+    // docs x bands, never by shingle count. That's the 100 TB shape.
     QueryDef("d51_minhash_lsh",
       (s, dir) => {
-        val sh = shingleSets(s, dir, 3)
-        val sig = sh.groupBy("doc_id")
-          .agg(minhashAgg(col("shingle"), 0).as("s0"),
-               (1 until K).map(i => minhashAgg(col("shingle"), i).as(s"s$i")): _*)
+        val base = documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .repartition(col("doc_id")) // spread the narrow scan (see d53)
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), array_distinct(shingles(col("w"), 3)).as("shs"))
+        val arr = base.select(col("doc_id"),
+          array_distinct(transform(col("shs"),
+            x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))).as("sh"))
+        // One md5 per shingle -> 32-bit fingerprint h; the K minhash
+        // values are min over the universal-hash family a_i*h + b_i mod p
+        // (p prime > 2^32; products stay < 2^38, exact in long on any
+        // engine). 12x cheaper than K independent md5 passes, same
+        // s-curve guarantees.
+        val withH = base.withColumn("hs",
+          transform(col("shs"), x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")))
+        val sigCols = (0 until K).map { i =>
+          array_min(transform(col("hs"),
+            h => (h * lit(2 * i + 1) + lit(1000003L * i + 12345L)) % lit(P))).as(s"s$i")
+        }
+        val sig = withH.select(col("doc_id") +: sigCols: _*)
         val bandCols = (0 until BANDS).map { b =>
           struct(lit(b).as("band_id"),
                  bandKey(Seq(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bkey"))
@@ -102,19 +136,35 @@ object DedupQueries {
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        jaccardOf(cand, sh, 0.8)
+        cand
+          .join(broadcast(arr.select(col("doc_id").as("doc_a"), col("sh").as("sha"))),
+                Seq("doc_a"))
+          .join(broadcast(arr.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
+                Seq("doc_b"))
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          .filter(col("inter") > 0)
+          .withColumn("jaccard",
+            col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
       },
       Some {
-        val sigCols = (0 until K).map(i => s"MIN(md5('$i|' || shingle)) AS s$i").mkString(", ")
+        val sigCols = (0 until K).map(i =>
+          s"MIN((h * ${2 * i + 1} + ${1000003L * i + 12345L}) % $P) AS s$i").mkString(", ")
         val bandIds = (0 until BANDS).mkString("[", ", ", "]")
         val bandKeys = (0 until BANDS)
-          .map(b => s"md5(s${2 * b} || '|' || s${2 * b + 1})").mkString("[", ", ", "]")
+          .map(b => s"md5(CAST(s${2 * b} AS VARCHAR) || '|' || CAST(s${2 * b + 1} AS VARCHAR))")
+          .mkString("[", ", ", "]")
         s"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        sh AS (SELECT DISTINCT doc_id, shingle
-               FROM (SELECT doc_id, unnest(${duckShingles(3)}) AS shingle
-                     FROM t WHERE len(w) >= 3)),
-        sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+        shs AS (SELECT DISTINCT doc_id, shingle
+                FROM (SELECT doc_id, unnest(${duckShingles(3)}) AS shingle
+                      FROM t WHERE len(w) >= 3)),
+        sh AS (SELECT DISTINCT doc_id, ${duckHexToLong("md5(shingle)", 15)} AS shingle
+               FROM shs),
+        sigh AS (SELECT doc_id, ${duckHexToLong("md5(shingle)", 8)} AS h FROM shs),
+        sig AS (SELECT doc_id, $sigCols FROM sigh GROUP BY doc_id),
         bands AS (SELECT doc_id, unnest($bandIds) AS band_id, unnest($bandKeys) AS bkey FROM sig),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                  FROM bands x JOIN bands y
@@ -126,6 +176,7 @@ object DedupQueries {
     QueryDef("d52_simhash",
       (s, dir) => {
         val tok = documents(s, dir)
+          .repartition(col("doc_id")) // spread before the token explosion
           .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
         val votes = (0 until 16).map(b => sum(simhashVote(col("tok"), b)).as(s"v$b"))
         tok.groupBy("doc_id")
@@ -148,19 +199,45 @@ object DedupQueries {
       }),
 
     // ---- d53: blocked n-gram Jaccard (bigram shingles, length blocking) --
+    // Per-doc shingle SETS stay as array columns of md5-hashed LONGS (one
+    // row per doc, no explode): both sides of the candidate join
+    // broadcast (~|docs| rows of ~52 longs), so the only distributed work
+    // is a primitive-array intersect per candidate pair across the
+    // repartitioned block-join output — no 50x expansion shuffle, no
+    // pair-count groupBy, no per-pair string hashing. The 60-bit md5
+    // prefix is deterministic on any engine; the DuckDB oracle hashes
+    // shingles identically, so even a (astronomically unlikely) collision
+    // yields the same answer on both sides.
     QueryDef("d53_ngram_jaccard",
       (s, dir) => {
-        val sh = shingleSets(s, dir, 2)
+        val arr = documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"),
+            array_distinct(transform(shingles(col("w"), 2),
+              x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))).as("sh"))
         val blocks = documents(s, dir)
           .select(col("doc_id"), expr("size(split(text, ' ')) div 8").as("bucket"))
         val cand = blocks.as("x").join(blocks.as("y"),
             col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        jaccardOf(cand, sh, 0.5)
+          .repartition(col("doc_a"), col("doc_b")) // spread the single-task block join
+        cand
+          .join(broadcast(arr.select(col("doc_id").as("doc_a"), col("sh").as("sha"))),
+                Seq("doc_a"))
+          .join(broadcast(arr.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
+                Seq("doc_b"))
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          .filter(col("inter") > 0)
+          .withColumn("jaccard",
+            col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
       },
       Some(s"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        sh AS (SELECT DISTINCT doc_id, shingle
+        sh AS (SELECT DISTINCT doc_id, ${duckHexToLong("md5(shingle)", 15)} AS shingle
                FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS shingle
                      FROM t WHERE len(w) >= 2)),
         blocks AS (SELECT doc_id, len(w) // 8 AS bucket FROM t),
