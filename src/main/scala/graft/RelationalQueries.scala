@@ -380,5 +380,28 @@ object RelationalQueries {
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        ORDER BY o_custkey""")))
+        ORDER BY o_custkey""")),
+
+    // ---- Salted two-stage aggregation (skew discipline) -------------------
+    // Same answer as the plain GROUP BY (the oracle IS the plain GROUP
+    // BY); the salted plan splits each group key over 16 partial reducers
+    // first, which is what keeps a skewed key (one dominant returnflag at
+    // 100 TB) from serializing on a single task. Decimal partials keep the
+    // two-stage sum exact.
+    QueryDef("q36_salted_agg",
+      (s, dir) => saltedAgg(
+        lineitem(s, dir).select("l_returnflag", "l_quantity"),
+        keys = Seq("l_returnflag"), salts = 16,
+        aggs = Seq(
+          (sum(col("l_quantity").cast(DecimalType(18, 2))), "ps"),
+          (count(lit(1)), "pn")),
+        finals = Seq(
+          (sum(col("ps")).cast("double"), "sum_qty"),
+          (sum(col("pn")), "n")))
+        .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))
 }

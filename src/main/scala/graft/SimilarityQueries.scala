@@ -138,6 +138,83 @@ object SimilarityQueries {
                CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_q
         FROM x GROUP BY label, dim_idx ORDER BY label, dim_idx""")),
 
+    // ---- s64: IVF-style ANN — coarse quantizer = per-label centroids
+    //      (the s62 "training" output), probe the nearest cell, exact
+    //      re-rank inside it. The scale path for clustered corpora: the
+    //      centroid table is tiny and broadcast; each query scans ONE
+    //      cell instead of the corpus (cells partition the data, so at
+    //      100 TB each probe is a partition-pruned scan).
+    //      Determinism: centroids quantized to exact longs
+    //      (floor(mean * 2^20); mean is one IEEE division of exact ints),
+    //      cell scores = exact integer dot / sqrt(exact long) — identical
+    //      doubles on any engine; ties broken by label.
+    QueryDef("s64_ann_ivf",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        // centroid per label as an ordered long array + its norm
+        val cent = e
+          .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cn"))
+          .withColumn("ci",
+            floor(col("sv").cast("double") / col("cn") * 1048576).cast("long"))
+          .groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
+                         x => x.getField("ci")).as("c"))
+          .withColumn("cnrm", qdot(col("c"), col("c")))
+        val qs = e.filter(col("vec_id") < NQUERIES)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
+        // probe: nearest centroid per query (tiny cross join, broadcast)
+        val wBest = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cell"))
+        val best = qs.crossJoin(broadcast(cent.select(col("label").as("cell"),
+                                                      col("c"), col("cnrm"))))
+          .withColumn("score",
+            qdot(col("qq"), col("c")).cast("double") /
+              sqrt(col("cnrm").cast("double")))
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select("query_id", "qq", "qn", "cell")
+        // exact re-rank within the probed cell only
+        val pairs = broadcast(best)
+          .join(e, col("label") === col("cell") && col("vec_id") =!= col("query_id"))
+          .withColumn("cosine", qcosine(qdot(col("qq"), col("q")), col("qn"), col("nrm")))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+        rankTopK(pairs, 5)
+      },
+      Some(s"""
+        WITH $duckQuantized,
+        x AS (SELECT label, unnest(range(1, len(q) + 1)) AS dim_idx, unnest(q) AS v FROM n),
+        cm AS (SELECT label, dim_idx, SUM(v) AS sv, COUNT(*) AS cn
+               FROM x GROUP BY label, dim_idx),
+        cent AS (SELECT label,
+                        list(CAST(FLOOR(CAST(sv AS DOUBLE) / cn * 1048576) AS BIGINT)
+                             ORDER BY dim_idx) AS c
+                 FROM cm GROUP BY label),
+        centn AS (SELECT label AS cell, c,
+                         CAST(list_sum(list_transform(range(1, len(c) + 1), i -> c[i] * c[i])) AS BIGINT) AS cnrm
+                  FROM cent),
+        qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM n WHERE vec_id < $NQUERIES),
+        scores AS (SELECT query_id, qq, qn, cell,
+                          CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * c[i])) AS DOUBLE)
+                            / sqrt(CAST(cnrm AS DOUBLE)) AS score
+                   FROM qs, centn),
+        best AS (SELECT query_id, qq, qn, cell
+                 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                                    ORDER BY score DESC, cell) AS rn
+                       FROM scores)
+                 WHERE rn = 1),
+        p AS (SELECT a.query_id, b.vec_id AS neighbor_id,
+                     CAST(list_sum(list_transform(range(1, len(a.qq) + 1), i -> a.qq[i] * b.q[i])) AS DOUBLE)
+                       / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+              FROM best a JOIN n b ON b.label = a.cell AND b.vec_id <> a.query_id)
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM p)
+        WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
     // ---- s63: brute-force top-5 via the QCosine codegen Expression ------
     QueryDef("s63_ann_codegen",
       (s, dir) => {

@@ -112,4 +112,28 @@ object Relational {
     unionAll(tables.map { case (name, df) =>
       df.groupBy().agg(count(lit(1)).as("n")).select(lit(name).as("table_name"), col("n"))
     })
+
+  /** Two-stage salted aggregation for skewed group keys. A single hot key
+    * (one language dominating 100 TB of documents, one power user in an
+    * event stream) funnels its entire partition through one reducer in a
+    * plain groupBy; salting splits each key across `salts` reducers for
+    * the partial aggregate, then merges the (keys x salts)-sized partials.
+    * Results are identical to the unsalted groupBy for any commutative
+    * merge (sums, counts, min/max); the salt is a deterministic row hash,
+    * so re-runs and speculative retries agree. AQE's skew handling covers
+    * joins; aggregation skew still needs this.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
+                aggs: Seq[(Column, String)], finals: Seq[(Column, String)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(aggs.head._1.as(aggs.head._2),
+           aggs.tail.map { case (c, n) => c.as(n) }: _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(finals.head._1.as(finals.head._2),
+           finals.tail.map { case (c, n) => c.as(n) }: _*)
+  }
 }

@@ -85,4 +85,22 @@ class RelationalSpec extends SparkSpec {
       .orderBy("table_name").as[(String, Long)].collect().toSeq
     assert(out === Seq(("one", 1L), ("p", 5L)))
   }
+
+  test("saltedAgg equals the plain groupBy and spreads keys over salts") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "rare" else "hot", i.toLong))
+      .toDF("k", "v")
+    val salted = saltedAgg(df, Seq("k"), salts = 8,
+      aggs = Seq((sum($"v"), "ps"), (count(lit(1)), "pn")),
+      finals = Seq((sum($"ps"), "total"), (sum($"pn"), "n")))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    val plain = df.groupBy("k")
+      .agg(sum($"v").as("total"), count(lit(1)).as("n"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(salted === plain)
+    // the partial stage must actually split the hot key across salts
+    val partials = df.withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .filter($"k" === "hot").select("__salt").distinct().count()
+    assert(partials > 1, "hot key not spread across salt partitions")
+  }
 }
