@@ -145,8 +145,10 @@ object SimilarityQueries {
     //      cell instead of the corpus (cells partition the data, so at
     //      100 TB each probe is a partition-pruned scan).
     //      Determinism: centroids quantized to exact longs
-    //      (floor(mean * 2^20); mean is one IEEE division of exact ints),
-    //      cell scores = exact integer dot / sqrt(exact long) — identical
+    //      (floor(mean * 2^10); mean is one IEEE division of exact ints —
+    //      2^10 keeps |ci| <= ~2^20, so the 64-dim norm stays <= ~2^46,
+    //      far inside Long; 2^20 scale could overflow BIGINT on
+    //      adversarial data), cell scores = integer dot / sqrt — identical
     //      doubles on any engine; ties broken by label.
     QueryDef("s64_ann_ivf",
       (s, dir) => {
@@ -157,7 +159,7 @@ object SimilarityQueries {
           .groupBy("label", "pos")
           .agg(sum(col("v")).as("sv"), count(lit(1)).as("cn"))
           .withColumn("ci",
-            floor(col("sv").cast("double") / col("cn") * 1048576).cast("long"))
+            floor(col("sv").cast("double") / col("cn") * 1024).cast("long"))
           .groupBy("label")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
                          x => x.getField("ci")).as("c"))
@@ -188,7 +190,7 @@ object SimilarityQueries {
         cm AS (SELECT label, dim_idx, SUM(v) AS sv, COUNT(*) AS cn
                FROM x GROUP BY label, dim_idx),
         cent AS (SELECT label,
-                        list(CAST(FLOOR(CAST(sv AS DOUBLE) / cn * 1048576) AS BIGINT)
+                        list(CAST(FLOOR(CAST(sv AS DOUBLE) / cn * 1024) AS BIGINT)
                              ORDER BY dim_idx) AS c
                  FROM cm GROUP BY label),
         centn AS (SELECT label AS cell, c,

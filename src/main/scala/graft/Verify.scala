@@ -34,7 +34,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Key each oracle BOTH bare and with the ".parquet" suffix: the
+    // driver iterates the output directory and looks SQL up by output
+    // FILENAME (round-1 correctness keys were "<name>.parquet" and every
+    // lookup missed), while tools/local_verify.py uses the bare name.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

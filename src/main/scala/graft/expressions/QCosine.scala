@@ -2,11 +2,12 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Cosine similarity of two quantized (integer) embedding vectors as a
   * native Catalyst expression with whole-stage codegen.
@@ -26,11 +27,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class QCosine(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Callers construct this only via the typed Column API below with
-  // array<long> inputs (Similarity.quantize output).
+  // Strict input typing: SQL callers writing qcosine(array(1,2,3), ...)
+  // pass array<int>, and ArrayData.getLong on int-backed arrays would
+  // silently read wrong bytes — fail at analysis time instead. (Spark 4
+  // hides AbstractDataType/ExpectsInputTypes from external packages, so
+  // the check is hand-rolled. Cast to array<bigint> at the call site.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"qcosine requires two array<bigint> arguments " +
+        s"(e.g. Similarity.quantize output), got ${l.simpleString} and ${r.simpleString}")
+    }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // Null-element arrays null out (matching the declarative
+  // zip_with/aggregate form, which propagates element nulls). Zero-norm
+  // vectors yield NaN in both forms (0/0 in IEEE double).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
@@ -38,6 +53,7 @@ case class QCosine(left: Expression, right: Expression)
     if (n != xb.numElements()) return null
     var dot = 0L; var na = 0L; var nb = 0L; var i = 0
     while (i < n) {
+      if (xa.isNullAt(i) || xb.isNullAt(i)) return null
       val x = xa.getLong(i); val y = xb.getLong(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -61,12 +77,15 @@ case class QCosine(left: Expression, right: Expression)
         } else {
           long $dot = 0L; long $na = 0L; long $nb = 0L;
           for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
             final long $x = $a.getLong($i);
             final long $y = $b.getLong($i);
             $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
           }
-          ${ev.value} = ((double) $dot) /
-            (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+          if (!${ev.isNull}) {
+            ${ev.value} = ((double) $dot) /
+              (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+          }
         }
       """
     })

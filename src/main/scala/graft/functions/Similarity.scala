@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Word n-gram shingles of a pre-split token array column. Caller must
-    * filter rows with fewer than n tokens (documents always have >n). */
-  def shingles(words: Column, n: Int): Column = {
-    val parts = (0 until n).map(i => s"w[i+$i]").mkString(", ")
-    expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $parts))")
-  }
+    * filter rows with fewer than n tokens (documents always have >n).
+    * Built from the passed Column (not a hardcoded name): `get` is 0-based
+    * and in-bounds for i in [0, size-n], j in [0, n) — no ANSI throw. */
+  def shingles(words: Column, n: Int): Column =
+    transform(sequence(lit(0), size(words) - n), i =>
+      concat_ws(" ", (0 until n).map(j => get(words, i + j)): _*))
 
   /** One MinHash value: the lexicographic minimum of md5(seed|shingle)
     * over the document's shingle set. K independent hash functions come

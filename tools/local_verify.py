@@ -35,6 +35,10 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
+    # oracle_sql.json carries each entry twice (bare + ".parquet"-suffixed
+    # for the driver's filename-keyed lookup); iterate bare names only.
+    oracles = {k: v for k, v in oracles.items() if not k.endswith(".parquet")}
+
     n_pass = n_fail = 0
     for name in sorted(oracles):
         files = (glob.glob(os.path.join(out_dir, name + ".parquet", "*.parquet"))
