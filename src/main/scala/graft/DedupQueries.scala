@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{documents, embeddings}
-import graft.expressions.QCosine
+import graft.expressions.{MinHashSig, QCosine, SortedOverlap}
 import graft.functions.Similarity._
 
 /** Deduplication family over `documents` / `embeddings` — the core
@@ -108,24 +108,24 @@ object DedupQueries {
           .repartition(col("doc_id")) // spread the narrow scan (see d53)
           .filter(size(col("w")) >= 3)
           .select(col("doc_id"), array_distinct(shingles(col("w"), 3)).as("shs"))
+        // Sorted + distinct hashed shingle sets: the verify step below
+        // intersects them with the SortedOverlap merge-scan kernel.
         val arr = base.select(col("doc_id"),
-          array_distinct(transform(col("shs"),
-            x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))).as("sh"))
-        // One md5 per shingle -> 32-bit fingerprint h; the K minhash
-        // values are min over the universal-hash family a_i*h + b_i mod p
-        // (p prime > 2^32; products stay < 2^38, exact in long on any
-        // engine). 12x cheaper than K independent md5 passes, same
-        // s-curve guarantees.
-        val withH = base.withColumn("hs",
-          transform(col("shs"), x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")))
-        val sigCols = (0 until K).map { i =>
-          array_min(transform(col("hs"),
-            h => (h * lit(2 * i + 1) + lit(1000003L * i + 12345L)) % lit(P))).as(s"s$i")
-        }
-        val sig = withH.select(col("doc_id") +: sigCols: _*)
+          array_sort(array_distinct(transform(col("shs"),
+            x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
+        // One md5 per shingle -> 32-bit fingerprint h; all K minhash
+        // values (min over the universal-hash family a_i*h + b_i mod p,
+        // p prime > 2^32, products < 2^38 => exact in long on any engine)
+        // come from ONE fused codegen pass (MinHashSig) instead of K
+        // interpreted array_min(transform(...)) passes. Same values,
+        // same s-curve, same oracle.
+        val sig = base
+          .withColumn("hs",
+            transform(col("shs"), x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")))
+          .select(col("doc_id"), MinHashSig(col("hs"), K, P).as("sig"))
         val bandCols = (0 until BANDS).map { b =>
           struct(lit(b).as("band_id"),
-                 bandKey(Seq(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bkey"))
+                 bandKey(Seq(col("sig")(2 * b), col("sig")(2 * b + 1))).as("bkey"))
         }
         val bands = sig
           .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
@@ -141,7 +141,9 @@ object DedupQueries {
                 Seq("doc_a"))
           .join(broadcast(arr.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
                 Seq("doc_b"))
-          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          // merge-scan intersection of the pre-sorted sets (codegen kernel;
+          // equals size(array_intersect) exactly — see ArrayKernelsSpec)
+          .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
           .filter(col("inter") > 0)
           .withColumn("jaccard",
             col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
@@ -214,8 +216,8 @@ object DedupQueries {
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 2)
           .select(col("doc_id"),
-            array_distinct(transform(shingles(col("w"), 2),
-              x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))).as("sh"))
+            array_sort(array_distinct(transform(shingles(col("w"), 2),
+              x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
         val blocks = documents(s, dir)
           .select(col("doc_id"), expr("size(split(text, ' ')) div 8").as("bucket"))
         val cand = blocks.as("x").join(blocks.as("y"),
@@ -227,7 +229,7 @@ object DedupQueries {
                 Seq("doc_a"))
           .join(broadcast(arr.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
                 Seq("doc_b"))
-          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
           .filter(col("inter") > 0)
           .withColumn("jaccard",
             col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))

@@ -1,0 +1,159 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Intersection size of two SORTED-ascending distinct long arrays as a
+  * single merge scan — the hot kernel of candidate-pair verification in
+  * the near-dup pipelines (d51/d53: per-pair shingle-set overlap).
+  *
+  * Why not `size(array_intersect(a, b))`: array_intersect builds a hash
+  * set per invocation (per candidate pair) with boxed longs — allocation
+  * and hashing dominate. Two pre-sorted primitive arrays intersect in one
+  * branch-predictable O(n+m) pass with zero allocation, inside
+  * whole-stage codegen. Callers must pass arrays sorted ascending and
+  * deduplicated (array_sort . array_distinct); the result then equals
+  * size(array_intersect) exactly, so DuckDB oracles are unchanged.
+  */
+case class SortedOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_overlap requires two array<bigint> arguments, " +
+        s"got ${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val n = xa.numElements(); val m = xb.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val x = xa.getLong(i); val y = xb.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val c = ctx.freshName("c")
+      s"""
+        final int $n = $a.numElements();
+        final int $m = $b.numElements();
+        int $i = 0; int $j = 0; long $c = 0L;
+        while ($i < $n && $j < $m) {
+          final long $x = $a.getLong($i);
+          final long $y = $b.getLong($j);
+          if ($x < $y) { $i++; }
+          else if ($x > $y) { $j++; }
+          else { $c++; $i++; $j++; }
+        }
+        ${ev.value} = $c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedOverlap =
+    copy(left = l, right = r)
+}
+
+object SortedOverlap {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedOverlap(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** All K MinHash values of a hashed-shingle array in ONE pass.
+  *
+  * Semantics (exact-integer, engine-portable — must stay bit-identical to
+  * the declarative form and the DuckDB oracle in DedupQueries d51):
+  * sig[i] = min over h in hs of (h * (2i+1) + (1000003*i + 12345)) mod p,
+  * the universal-hash family over 32-bit fingerprints h (products stay
+  * < 2^38, exact in long on any engine). Null for null or empty input
+  * (min of nothing is undefined; d51 filters size >= n upstream).
+  *
+  * Why an Expression: the declarative spelling is K independent
+  * array_min(transform(hs, ...)) columns — higher-order functions are
+  * CodegenFallback, so that's 12 interpreted passes with a lambda-variable
+  * bind per element. This is one fused primitive loop inside whole-stage
+  * codegen.
+  */
+case class MinHashSig(child: Expression, k: Int, p: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires an array<bigint> argument, got ${t.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < k) {
+        val x = (h * (2L * i + 1L) + (1000003L * i + 12345L)) % p
+        if (x < mins(i)) mins(i) = x
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val x = ctx.freshName("x")
+      s"""
+        final int $n = $a.numElements();
+        if ($n == 0) {
+          ${ev.isNull} = true;
+        } else {
+          final long[] $mins = new long[$k];
+          java.util.Arrays.fill($mins, Long.MAX_VALUE);
+          for (int $j = 0; $j < $n; $j++) {
+            final long $h = $a.getLong($j);
+            for (int $i = 0; $i < $k; $i++) {
+              final long $x = ($h * (2L * $i + 1L) + (1000003L * $i + 12345L)) % ${p}L;
+              if ($x < $mins[$i]) $mins[$i] = $x;
+            }
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+object MinHashSig {
+  def apply(hs: Column, k: Int, p: Long): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), k, p))
+}

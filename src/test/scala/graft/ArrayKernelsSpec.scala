@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.expressions.{MinHashSig, SortedOverlap}
+
+class ArrayKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SortedOverlap equals size(array_intersect) on sorted distinct arrays") {
+    // Deterministic pseudo-random sorted-distinct long sets of varied size.
+    val rows = (0 until 200).map { i =>
+      def set(seed: Int, n: Int): Array[Long] =
+        (0 until n).map(j => ((seed * 2654435761L + j * 40503L) % 97).abs).distinct.sorted.toArray
+      (set(i, 5 + i % 40), set(i * 7 + 3, 5 + (i * 3) % 40))
+    }
+    val df = rows.toDF("a", "b")
+    val viaKernel = df.select(SortedOverlap($"a", $"b")).as[Long].collect()
+    val viaBuiltin = df.select(size(array_intersect($"a", $"b")).cast("long")).as[Long].collect()
+    assert(viaKernel.toSeq === viaBuiltin.toSeq)
+  }
+
+  test("SortedOverlap handles empty and disjoint inputs") {
+    val df = Seq(
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L))
+    ).toDF("a", "b")
+    assert(df.select(SortedOverlap($"a", $"b")).as[Long].collect().toSeq === Seq(0L, 0L, 3L))
+  }
+
+  test("SortedOverlap rejects non-array<bigint> input at analysis time") {
+    val df = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(SortedOverlap($"a", $"b")).collect()
+    }
+  }
+
+  test("MinHashSig equals K declarative array_min(transform(...)) passes") {
+    val K = 12; val P = 4294967311L
+    val rows = (0 until 100).map { i =>
+      Tuple1((0 until (3 + i % 30)).map(j => (i * 1000003L + j * 2654435761L) % 4294967296L).toArray)
+    }
+    val df = rows.toDF("hs")
+    val viaKernel = df.select(MinHashSig($"hs", K, P).as("sig")).as[Seq[Long]].collect()
+    val declCols = (0 until K).map { i =>
+      array_min(transform($"hs", h => (h * lit(2 * i + 1) + lit(1000003L * i + 12345L)) % lit(P)))
+    }
+    val viaDecl = df.select(array(declCols: _*).as("sig")).as[Seq[Long]].collect()
+    assert(viaKernel.toSeq === viaDecl.toSeq)
+  }
+
+  test("MinHashSig is null on empty or null input") {
+    val df = Seq(Tuple1(Array.empty[Long]), Tuple1(null.asInstanceOf[Array[Long]])).toDF("hs")
+    assert(df.select(MinHashSig($"hs", 4, 4294967311L)).collect().forall(_.isNullAt(0)))
+  }
+}
