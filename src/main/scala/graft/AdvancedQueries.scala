@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{customer, documents, events, lineitem, orders}
+import graft.operators.Relational.decSum
+
+/** Second-wave analytics operators, each with a DuckDB oracle:
+  *
+  *   - q23 cube                  (multi-dimensional rollup lattice)
+  *   - q24 grouping sets         (SQL layer: spark.sql over registered views)
+  *   - q25 correlated EXISTS / NOT EXISTS subqueries (SQL layer)
+  *   - q37 banded range join     (interval self-join via time-band equality
+  *                                keys — the 100 TB shape for theta joins)
+  *   - d55 duplicate clusters    (connected components over near-dup pairs
+  *                                by iterative min-label propagation)
+  *   - t45 top distinctive term  (tf/df ranking, integer-exact)
+  */
+object AdvancedQueries {
+
+  /** Identical SQL text runs on Spark and DuckDB (both speak ANSI GROUPING
+    * SETS / EXISTS; the decimal-cast sum pattern is exact on both). */
+  private val groupingSetsSql = """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY pri, status"""
+
+  private val existsSql = """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey"""
+
+  private val WINDOW_US = 60000000L // 60 s in integer microseconds
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- q23: CUBE over (returnflag, linestatus) -------------------------
+    // The full 2^d rollup lattice in ONE pass: Spark expands grouping sets
+    // in the Expand operator before a single hash aggregate — no per-cell
+    // re-scan. NULL group markers are coalesced to 'ALL' (group columns
+    // are non-null here) so ordering/hashing is null-free on both engines.
+    QueryDef("q23_cube",
+      (s, dir) => lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    // ---- q24: GROUPING SETS via the SQL layer ----------------------------
+    QueryDef("q24_grouping_sets",
+      (s, dir) => {
+        orders(s, dir).createOrReplaceTempView("orders")
+        s.sql(groupingSetsSql)
+      },
+      Some(groupingSetsSql)),
+
+    // ---- q25: correlated EXISTS / NOT EXISTS subqueries ------------------
+    // Catalyst rewrites these to a left-semi + left-anti join pair — no
+    // per-row subquery execution, both sides shuffle once on o_custkey.
+    QueryDef("q25_exists_subquery",
+      (s, dir) => {
+        customer(s, dir).createOrReplaceTempView("customer")
+        orders(s, dir).createOrReplaceTempView("orders")
+        s.sql(existsSql)
+      },
+      Some(existsSql)),
+
+    // ---- q37: banded range join (events x events, 60 s window) -----------
+    // "Events by the same user within the next 60 s" is a theta join
+    // (b.ts in (a.ts, a.ts+60s]) that a naive engine executes as a
+    // per-user cross product. The scale path: quantize time into 60 s
+    // bands, explode the probe side into its two candidate bands, and
+    // equality-join on (user_id, band) — a plain shuffled hash join whose
+    // width is bounded by events x 2, then apply the precise range filter.
+    // All band/gap math in exact integer microseconds.
+    QueryDef("q37_range_join_banded",
+      (s, dir) => {
+        val e = events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
+        val a = e.withColumn("band", expr(s"ts_us div $WINDOW_US"))
+          .select(col("event_id").as("a_id"), col("user_id"), col("ts_us").as("a_us"), col("band"))
+        val b = e
+          .withColumn("band", explode(array(expr(s"ts_us div $WINDOW_US"),
+                                            expr(s"ts_us div $WINDOW_US - 1"))))
+          .select(col("event_id").as("b_id"), col("user_id"), col("ts_us").as("b_us"), col("band"))
+        a.join(b, Seq("user_id", "band"))
+          .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + WINDOW_US)
+          .select(col("a_id"), col("b_id"), col("user_id"), (col("b_us") - col("a_us")).as("gap_us"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+               b.ts_us - a.ts_us AS gap_us
+        FROM e a JOIN e b
+          ON b.user_id = a.user_id
+         AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + $WINDOW_US
+        ORDER BY a_id, b_id""")),
+
+    // ---- d55: duplicate-cluster resolution (connected components) --------
+    // The step after pair-finding in every dedup pipeline: near-dup PAIRS
+    // (d53's bigram-Jaccard edges) become duplicate GROUPS with a
+    // deterministic representative (min doc_id in the component).
+    // Iterative min-label propagation: each round, every node takes the
+    // min label among itself and its neighbors — a join + groupBy per
+    // round, converging in O(component diameter) rounds (near-dup
+    // components are shallow; capped at 20). The driver loop only ever
+    // collects one change-count scalar per round — the data never leaves
+    // the cluster, which is what makes this shape work on 100 TB
+    // (same dataflow as large-scale CC algorithms a la large-star/
+    // small-star, simplified for shallow dup clusters).
+    QueryDef("d55_dup_clusters",
+      (s, dir) => {
+        val pairs = DedupQueries.bigramPairs(s, dir).select("doc_a", "doc_b")
+        val edges = pairs
+          .union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst")
+          .cache()
+        var cur = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id"))
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 20) {
+          val prop = edges.join(cur, col("src") === col("doc_id"))
+            .select(col("dst").as("doc_id"), col("cluster_id"))
+          val next = cur.select("doc_id", "cluster_id").union(prop)
+            .groupBy("doc_id").agg(min("cluster_id").as("new_cid"))
+            .cache()
+          changed = next.join(cur, "doc_id")
+            .filter(col("new_cid") =!= col("cluster_id")).count()
+          cur = next.select(col("doc_id"), col("new_cid").as("cluster_id"))
+          iter += 1
+        }
+        cur.orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM (${DedupQueries.duckBigramPairsSql})
+        ),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach AS (
+          SELECT doc_id, doc_id AS r FROM nodes
+          UNION
+          SELECT e.dst AS doc_id, r.r FROM reach r JOIN edges e ON e.src = r.doc_id
+        )
+        SELECT doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- t45: top distinctive term per document (tf/df ranking) ----------
+    // TF-IDF's ranking decisions without its floating-point score: order
+    // by (tf desc, df asc, term) — pure integer/string comparisons, so
+    // the oracle matches exactly (a double tf*log(N/df) score would be
+    // at the mercy of libm rounding differences across engines).
+    QueryDef("t45_top_term",
+      (s, dir) => {
+        val tok = documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tok.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+        tf.join(broadcast(dfreq), Seq("term"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "term", "tf", "df")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df
+               FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term)
+        SELECT doc_id, term, tf, df FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+          FROM tf JOIN df USING (term))
+        WHERE rn = 1 ORDER BY doc_id""")))
+}

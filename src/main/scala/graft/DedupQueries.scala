@@ -79,6 +79,52 @@ object DedupQueries {
     WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold
     ORDER BY doc_a, doc_b"""
 
+  /** d53 core, reused by d55's cluster resolution: bigram-shingle Jaccard
+    * pairs (threshold 0.5) from length-bucket blocking. Per-doc shingle
+    * SETS stay as sorted array columns of md5-hashed longs (one row per
+    * doc, no explode): both sides of the candidate join broadcast, so the
+    * only distributed work is a SortedOverlap merge scan per candidate
+    * pair across the repartitioned block-join output — no 50x expansion
+    * shuffle, no pair-count groupBy, no per-pair string hashing. */
+  private[graft] def bigramPairs(s: SparkSession, dir: String): DataFrame = {
+    val arr = documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(shingles(col("w"), 2),
+          x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
+    val blocks = documents(s, dir)
+      .select(col("doc_id"), expr("size(split(text, ' ')) div 8").as("bucket"))
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .repartition(col("doc_a"), col("doc_b")) // spread the single-task block join
+    cand
+      .join(broadcast(arr.select(col("doc_id").as("doc_a"), col("sh").as("sha"))),
+            Seq("doc_a"))
+      .join(broadcast(arr.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
+            Seq("doc_b"))
+      .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
+      .filter(col("inter") > 0)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** DuckDB twin of [[bigramPairs]] (a complete SELECT; embeddable as a
+    * parenthesized subquery). */
+  private[graft] val duckBigramPairsSql: String = s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, ${duckHexToLong("md5(shingle)", 15)} AS shingle
+               FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS shingle
+                     FROM t WHERE len(w) >= 2)),
+        blocks AS (SELECT doc_id, len(w) // 8 AS bucket FROM t),
+        cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM blocks x JOIN blocks y
+                 ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        ${duckJaccardTail(0.5)}"""
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- d50: exact dedup by content hash --------------------------------
@@ -211,42 +257,8 @@ object DedupQueries {
     // shingles identically, so even a (astronomically unlikely) collision
     // yields the same answer on both sides.
     QueryDef("d53_ngram_jaccard",
-      (s, dir) => {
-        val arr = documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 2)
-          .select(col("doc_id"),
-            array_sort(array_distinct(transform(shingles(col("w"), 2),
-              x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
-        val blocks = documents(s, dir)
-          .select(col("doc_id"), expr("size(split(text, ' ')) div 8").as("bucket"))
-        val cand = blocks.as("x").join(blocks.as("y"),
-            col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .repartition(col("doc_a"), col("doc_b")) // spread the single-task block join
-        cand
-          .join(broadcast(arr.select(col("doc_id").as("doc_a"), col("sh").as("sha"))),
-                Seq("doc_a"))
-          .join(broadcast(arr.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
-                Seq("doc_b"))
-          .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
-          .filter(col("inter") > 0)
-          .withColumn("jaccard",
-            col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
-          .filter(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
-      Some(s"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        sh AS (SELECT DISTINCT doc_id, ${duckHexToLong("md5(shingle)", 15)} AS shingle
-               FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS shingle
-                     FROM t WHERE len(w) >= 2)),
-        blocks AS (SELECT doc_id, len(w) // 8 AS bucket FROM t),
-        cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-                 FROM blocks x JOIN blocks y
-                 ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
-        ${duckJaccardTail(0.5)}""")),
+      (s, dir) => bigramPairs(s, dir).orderBy("doc_a", "doc_b"),
+      Some(duckBigramPairsSql)),
 
     // ---- d54: embedding near-dup pairs (quantized-exact cosine) ----------
     QueryDef("d54_embedding_neardup",

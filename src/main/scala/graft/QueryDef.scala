@@ -20,7 +20,7 @@ object QueryRegistry {
   def defs: Seq[QueryDef] =
     RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ MultimodalQueries.defs ++ EventQueries.defs ++
-      SamplingQueries.defs
+      SamplingQueries.defs ++ AdvancedQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.run).toMap
