@@ -90,6 +90,39 @@ object Streams {
               unix_timestamp(col("w.end")).as("session_end"),
               col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup by event id. `dropDuplicatesWithinWatermark`
+    * keeps dedup state only inside the watermark horizon — the streaming
+    * twin of batch d50, with BOUNDED state on an unbounded stream (plain
+    * `dropDuplicates` on a stream retains every key forever; at-least-once
+    * sources re-deliver within minutes, not days, so a watermark-scoped
+    * guarantee is the operationally correct one). */
+  def dedupStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join — the streaming twin of batch q37: pair
+    * each event with same-user events in the next `windowSec` seconds.
+    * Both sides are watermarked and the join condition bounds the
+    * event-time range, so each side's buffered state expires as the
+    * watermark advances (unbounded-state stream joins don't run at scale).
+    * Gap reported in exact integer microseconds, like every event-time
+    * computation in this engine. */
+  def streamRangeJoin(left: DataFrame, right: DataFrame,
+                      windowSec: Int = 60,
+                      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    l.join(r,
+        col("user_id") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("a_id"), col("b_id"), col("user_id"),
+              (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
   // ---- Custom state: explicit sessionizer --------------------------------
 
   /** Input row for the stateful sessionizer. */

@@ -188,6 +188,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-deliveries of the same event_id within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.dedupStream(in.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(10), 1, "click", 1.0),
+        Event(2, ts(11), 2, "view", 2.0),
+        Event(1, ts(10), 1, "click", 1.0)) // same-batch duplicate
+      drain(q)
+      in.addData(Event(1, ts(12), 1, "click", 1.0)) // re-delivery, in horizon
+      drain(q)
+      val ids = spark.table("dedup_stream").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streamRangeJoin pairs same-user events within the window, matching batch q37 semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[Event]
+    val r = MemoryStream[Event]
+    val q = Streams.streamRangeJoin(l.toDF(), r.toDF(), windowSec = 60)
+      .writeStream.format("memory").queryName("range_join")
+      .outputMode("append").start()
+    try {
+      val e1 = Event(1, ts(10, 0), 1, "click", 1.0)
+      val e2 = Event(2, ts(10, 30), 1, "view", 1.0)  // 30s after e1: pairs
+      val e3 = Event(3, ts(11, 30), 1, "view", 1.0)  // 60s after e2: pairs (inclusive); 90s after e1: no
+      val e4 = Event(4, ts(10, 15), 2, "view", 1.0)  // other user: never pairs
+      l.addData(e1, e2, e3, e4)
+      r.addData(e1, e2, e3, e4)
+      drain(q)
+      val got = spark.table("range_join")
+        .select("a_id", "b_id", "gap_us").as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L, 30000000L), (2L, 3L, 60000000L)))
+    } finally q.stop()
+  }
+
   test("file stream source reads landed parquet and the partitioned sink writes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toFile
     val srcDir = new java.io.File(tmp, "src"); srcDir.mkdirs()
