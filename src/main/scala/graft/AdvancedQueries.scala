@@ -133,7 +133,10 @@ object AdvancedQueries {
     // small-star, simplified for shallow dup clusters).
     QueryDef("d55_dup_clusters",
       (s, dir) => {
-        val pairs = DedupQueries.bigramPairs(s, dir).select("doc_a", "doc_b")
+        // Cache the pair set BEFORE the two-direction union: the union's
+        // branches are otherwise two full recomputations of the pair
+        // pipeline at edges-materialization time.
+        val pairs = DedupQueries.bigramPairs(s, dir).select("doc_a", "doc_b").cache()
         val edges = pairs
           .union(pairs.select(col("doc_b"), col("doc_a")))
           .toDF("src", "dst")
@@ -170,6 +173,45 @@ object AdvancedQueries {
         )
         SELECT doc_id, MIN(r) AS cluster_id
         FROM reach GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- q38: exact discrete percentiles (SQL-standard inverse dist.) ----
+    // percentile_disc RETURNS AN ELEMENT of the data (smallest value with
+    // cume_dist >= p) — unlike percentile_cont there is no interpolation
+    // arithmetic to drift between engines, so results hash-match exactly.
+    // Exact percentiles sort within each group; at 100 TB use this per
+    // bounded-cardinality group (as here), approx_percentile otherwise
+    // (see q39's sketch discipline).
+    QueryDef("q38_percentile_disc",
+      (s, dir) => {
+        orders(s, dir).createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_orderpriority,
+                 percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+                 percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+                 percentile_disc(0.9)  WITHIN GROUP (ORDER BY o_totalprice) AS p90
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               quantile_disc(o_totalprice, 0.25) AS p25,
+               quantile_disc(o_totalprice, 0.5)  AS p50,
+               quantile_disc(o_totalprice, 0.9)  AS p90
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- q39: distinct-count sketch vs exact (no oracle: approximate) ----
+    // approx_count_distinct is the 100 TB path for distinct counting: an
+    // HLL++ sketch that aggregates in fixed memory and merges map-side,
+    // where exact COUNT(DISTINCT) must shuffle every distinct value. The
+    // sketch is engine-specific, so this query gets the driver's weaker
+    // rows-only check; AdvancedSpec pins the relative error to the exact
+    // count instead.
+    QueryDef("q39_approx_distinct",
+      (s, dir) => lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+             approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+        .orderBy("l_returnflag"),
+      None),
 
     // ---- t45: top distinctive term per document (tf/df ranking) ----------
     // TF-IDF's ranking decisions without its floating-point score: order

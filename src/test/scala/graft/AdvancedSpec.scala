@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class AdvancedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    AdvancedQueries.defs.find(_.name == name).get.run(spark, sf)
+
+  test("q39 sketch: approx_count_distinct within error bound of the exact count") {
+    val rows = q("q39_approx_distinct")
+      .select("n_exact", "n_approx").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, approx) =>
+      // rsd = 0.02; allow 5 sigma so the test is deterministic-in-practice
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.1).toLong),
+        s"approx $approx too far from exact $exact")
+    }
+  }
+
+  test("d55 clusters: every near-dup pair is co-clustered, representative is the min") {
+    val pairs = DedupQueries.bigramPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val clusters = q("d55_dup_clusters")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(clusters.nonEmpty)
+    // transitivity surrogate: both endpoints of every edge share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // representative = min member of its cluster
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"cluster $cid min is ${members.keys.min}")
+    }
+  }
+
+  test("q37 banded range join equals the direct theta-join on the same data") {
+    val banded = q("q37_range_join_banded")
+      .select("a_id", "b_id", "gap_us").as[(Long, Long, Long)].collect().toSet
+    val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts_us"))
+    val theta = e.as("a").join(e.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+        col("b.ts_us") > col("a.ts_us") &&
+        col("b.ts_us") <= col("a.ts_us") + 60000000L)
+      .select(col("a.event_id"), col("b.event_id"),
+              (col("b.ts_us") - col("a.ts_us")).as("gap_us"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === theta)
+    assert(banded.nonEmpty)
+  }
+}
