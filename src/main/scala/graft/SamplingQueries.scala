@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.documents
@@ -49,5 +50,31 @@ object SamplingQueries {
             + (strpos('0123456789abcdef', substr(md5('bern|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
             + (strpos('0123456789abcdef', substr(md5('bern|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
             + (strpos('0123456789abcdef', substr(md5('bern|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) < 8192
-        GROUP BY lang ORDER BY lang""")))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- s72: fixed-size stratified sample (k per stratum, by hash) ------
+    // Balanced sampling for training-data curation: exactly min(k, |g|)
+    // rows per (lang, source) stratum, chosen by md5 rank — deterministic
+    // on any engine. One shuffle on the stratum key; per-stratum state is
+    // a k-row heap, so skewed strata can't blow memory. (A rate-based
+    // stratified sampler would be s71 with per-group rates; fixed-size is
+    // the harder, more useful shape.)
+    QueryDef("s72_stratified_sample",
+      (s, dir) => {
+        val w = Window.partitionBy("lang", "source")
+          .orderBy(h("strat|"), col("doc_id"))
+        documents(s, dir)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select("lang", "source", "rk", "doc_id")
+          .orderBy("lang", "source", "rk")
+      },
+      Some("""
+        SELECT lang, source, rk, doc_id FROM (
+          SELECT lang, source, doc_id,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+          FROM documents)
+        WHERE rk <= 20 ORDER BY lang, source, rk""")))
 }
