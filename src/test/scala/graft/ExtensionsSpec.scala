@@ -53,4 +53,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("2 arguments") ||
            e.getMessage.toLowerCase.contains("qcosine"))
   }
+
+  test("qcosine rejects non-bigint arrays at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT qcosine(array(1, 2), array(3, 4)) AS c").collect()
+    }
+    assert(e.getMessage.contains("array<bigint>"))
+  }
+
+  test("sorted_overlap is callable from SQL") {
+    import spark.implicits._
+    val got = spark.sql(
+      "SELECT sorted_overlap(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n")
+      .as[Long].head()
+    assert(got === 2L)
+  }
+
+  test("minhash_sig is callable from SQL with literal k and p") {
+    import spark.implicits._
+    val sig = spark.sql(
+      "SELECT minhash_sig(array(7L, 9L), 4, 4294967311L) AS sig")
+      .as[Seq[Long]].head()
+    assert(sig.length === 4)
+    // spot-check hash function i=0: min(7*1+12345, 9*1+12345) = 12352
+    assert(sig.head === 12352L)
+  }
 }
