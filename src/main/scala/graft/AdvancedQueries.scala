@@ -147,12 +147,17 @@ object AdvancedQueries {
         var iter = 0
         while (changed > 0 && iter < 20) {
           val prop = edges.join(cur, col("src") === col("doc_id"))
-            .select(col("dst").as("doc_id"), col("cluster_id"))
-          val next = cur.select("doc_id", "cluster_id").union(prop)
-            .groupBy("doc_id").agg(min("cluster_id").as("new_cid"))
+            .select(col("dst").as("doc_id"), col("cluster_id"), lit(false).as("self"))
+          // One groupBy yields BOTH the new label (min over self+neighbors)
+          // and the old one (min over the self row) — the convergence
+          // check needs no extra join per round.
+          val next = cur.select(col("doc_id"), col("cluster_id"), lit(true).as("self"))
+            .union(prop)
+            .groupBy("doc_id")
+            .agg(min("cluster_id").as("new_cid"),
+                 min(when(col("self"), col("cluster_id"))).as("old_cid"))
             .cache()
-          changed = next.join(cur, "doc_id")
-            .filter(col("new_cid") =!= col("cluster_id")).count()
+          changed = next.filter(col("new_cid") =!= col("old_cid")).count()
           cur = next.select(col("doc_id"), col("new_cid").as("cluster_id"))
           iter += 1
         }

@@ -154,21 +154,29 @@ object DedupQueries {
           .repartition(col("doc_id")) // spread the narrow scan (see d53)
           .filter(size(col("w")) >= 3)
           .select(col("doc_id"), array_distinct(shingles(col("w"), 3)).as("shs"))
+        // ONE md5 per shingle serves both pipelines: the 60-bit prefix
+        // (15 hex digits) is the verify-set element, and its top 32 bits
+        // (h60 >> 28 == the 8-hex-digit prefix) is the minhash
+        // fingerprint — bit-identical to hashing twice, as the DuckDB
+        // oracle does. The compact (doc_id, h60[]) frame is cached: it
+        // feeds three consumers (two verify-join sides + signatures), and
+        // without the cache each re-runs the shingle explosion.
+        val pre = base.select(col("doc_id"),
+          transform(col("shs"),
+            x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")).as("h60"))
+          .cache()
         // Sorted + distinct hashed shingle sets: the verify step below
         // intersects them with the SortedOverlap merge-scan kernel.
-        val arr = base.select(col("doc_id"),
-          array_sort(array_distinct(transform(col("shs"),
-            x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
-        // One md5 per shingle -> 32-bit fingerprint h; all K minhash
-        // values (min over the universal-hash family a_i*h + b_i mod p,
-        // p prime > 2^32, products < 2^38 => exact in long on any engine)
-        // come from ONE fused codegen pass (MinHashSig) instead of K
-        // interpreted array_min(transform(...)) passes. Same values,
-        // same s-curve, same oracle.
-        val sig = base
-          .withColumn("hs",
-            transform(col("shs"), x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")))
-          .select(col("doc_id"), MinHashSig(col("hs"), K, P).as("sig"))
+        val arr = pre.select(col("doc_id"),
+          array_sort(array_distinct(col("h60"))).as("sh"))
+        // All K minhash values (min over the universal-hash family
+        // a_i*h + b_i mod p, p prime > 2^32, products < 2^38 => exact in
+        // long on any engine) come from ONE fused codegen pass
+        // (MinHashSig) instead of K interpreted array_min(transform(...))
+        // passes. Same values, same s-curve, same oracle.
+        val sig = pre
+          .select(col("doc_id"),
+            MinHashSig(transform(col("h60"), h => shiftright(h, 28)), K, P).as("sig"))
         val bandCols = (0 until BANDS).map { b =>
           struct(lit(b).as("band_id"),
                  bandKey(Seq(col("sig")(2 * b), col("sig")(2 * b + 1))).as("bkey"))
