@@ -5,7 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{customer, documents, events, lineitem, orders}
+import graft.functions.Similarity.{duckShingles, shingles}
+import graft.functions.Similarity.duckHexToLong
 import graft.operators.Relational.decSum
+import graft.operators.TopKAgg
 
 /** Second-wave analytics operators, each with a DuckDB oracle:
   *
@@ -217,6 +220,84 @@ object AdvancedQueries {
              approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
         .orderBy("l_returnflag"),
       None),
+
+    // ---- q40: top-k per group via a typed Aggregator ---------------------
+    // Same results as the row_number window (the oracle), different
+    // physics: the Aggregator keeps an O(k) buffer per group and combines
+    // map-side, where the window must shuffle + sort entire groups. For
+    // skewed keys at 100 TB that is the difference between a bounded
+    // merge and a spilling sort.
+    QueryDef("q40_topk_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        val topk = new TopKAgg(3).toColumn
+        orders(s, dir)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .as[(String, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(topk)
+          .flatMap { case (pri, items) =>
+            items.zipWithIndex.map { case ((price, key), i) =>
+              (pri, key, price, (i + 1).toLong)
+            }
+          }
+          .toDF("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+          .orderBy("o_orderpriority", "rank")
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rank
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3 ORDER BY o_orderpriority, rank""")),
+
+    // ---- d56: benchmark-contamination scan -------------------------------
+    // The eval-set hygiene operator every training pipeline needs: for
+    // each training document, what fraction of its 5-gram shingles
+    // appears anywhere in the benchmark corpus (here: source 'src0')?
+    // Scale shape: the benchmark's distinct gram-hash set is a small
+    // broadcast side; training grams explode once, hit-test via a
+    // broadcast LEFT SEMI join, and aggregate per doc — no document
+    // pairs, no all-pairs anything. md5-hashed grams keep the oracle
+    // bit-identical.
+    QueryDef("d56_benchmark_contamination",
+      (s, dir) => {
+        val grams = documents(s, dir)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+          .repartition(col("doc_id")) // spread the narrow scan pre-explosion
+          .filter(size(col("w")) >= 5)
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(transform(shingles(col("w"), 5),
+              x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("g"))
+        val bench = grams.filter(col("source") === "src0").select("g").distinct()
+        val train = grams.filter(col("source") =!= "src0")
+        val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val hits = train.join(broadcast(bench), Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        totals.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+              .as("contamination"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        grams AS (SELECT DISTINCT doc_id, source,
+                         ${duckHexToLong("md5(shingle)", 15)} AS g
+                  FROM (SELECT doc_id, source, unnest(${duckShingles(5)}) AS shingle
+                        FROM t WHERE len(w) >= 5)),
+        bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        train AS (SELECT doc_id, g FROM grams WHERE source <> 'src0'),
+        totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+        hits AS (SELECT doc_id, COUNT(*) AS n_hit
+                 FROM train WHERE g IN (SELECT g FROM bench) GROUP BY doc_id)
+        SELECT t.doc_id, t.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+               CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams AS contamination
+        FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
+        ORDER BY t.doc_id""")),
 
     // ---- t45: top distinctive term per document (tf/df ranking) ----------
     // TF-IDF's ranking decisions without its floating-point score: order

@@ -37,6 +37,30 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("TopKAgg keeps k best with deterministic ties (value desc, id asc)") {
+    import org.apache.spark.sql.functions.col
+    val topk = new graft.operators.TopKAgg(2).toColumn
+    val out = Seq(("a", 5.0, 3L), ("a", 5.0, 1L), ("a", 5.0, 2L), ("b", 1.0, 9L))
+      .toDF("g", "v", "id").as[(String, Double, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3)).agg(topk)
+      .collect().toMap
+    assert(out("a") === Seq((5.0, 1L), (5.0, 2L)))
+    assert(out("b") === Seq((1.0, 9L)))
+  }
+
+  test("d56 contamination: src0 docs are excluded and ratios are in [0,1]") {
+    val rows = q("d56_benchmark_contamination")
+      .select("doc_id", "n_grams", "n_hit", "contamination")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, h, c) =>
+      assert(h <= n && c >= 0.0 && c <= 1.0)
+    }
+    val src0 = Tables.documents(spark, sf).filter(col("source") === "src0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet.intersect(src0).isEmpty)
+  }
+
   test("q37 banded range join equals the direct theta-join on the same data") {
     val banded = q("q37_range_join_banded")
       .select("a_id", "b_id", "gap_us").as[(Long, Long, Long)].collect().toSet
