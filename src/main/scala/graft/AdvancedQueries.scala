@@ -299,6 +299,54 @@ object AdvancedQueries {
         FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
         ORDER BY t.doc_id""")),
 
+    // ---- q41: funnel analysis (ordered sequence matching) ----------------
+    // How many users progress view -> click -> purchase IN ORDER? The
+    // cascaded-min formulation is exact and fully distributed: stage n's
+    // earliest qualifying time is the min event time strictly after stage
+    // n-1's — three filtered aggregations chained by equality joins on
+    // user_id (each one shuffle on the same key, so Exchange reuse keeps
+    // it to one physical shuffle). No per-user sequence materialization,
+    // no sort — per-user state is one timestamp per stage, O(1).
+    QueryDef("q41_funnel",
+      (s, dir) => {
+        val e = events(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("ts_us") > col("t1"))
+          .groupBy("user_id").agg(min("ts_us").as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("ts_us") > col("t2"))
+          .groupBy("user_id").agg(min("ts_us").as("t3"))
+        s1.join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+          .join(s3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+          .select(
+            (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+                     + when(col("t3").isNotNull, 1L).otherwise(0L)).as("funnel_step"))
+          .groupBy("funnel_step").agg(count(lit(1)).as("n_users"))
+          .orderBy("funnel_step")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2
+               FROM e JOIN s1 ON s1.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3
+               FROM e JOIN s2 ON s2.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+               GROUP BY e.user_id)
+        SELECT funnel_step, COUNT(*) AS n_users FROM (
+          SELECT 1 + (CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS funnel_step
+          FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+                  LEFT JOIN s3 ON s3.user_id = s1.user_id)
+        GROUP BY funnel_step ORDER BY funnel_step""")),
+
     // ---- t45: top distinctive term per document (tf/df ranking) ----------
     // TF-IDF's ranking decisions without its floating-point score: order
     // by (tf desc, df asc, term) — pure integer/string comparisons, so

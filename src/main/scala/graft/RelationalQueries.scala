@@ -346,13 +346,13 @@ object RelationalQueries {
         val o = orders(s, dir)
         val avgDf = o.agg((decSum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
         o.join(broadcast(avgDf))
-          .filter(col("o_totalprice") > lit(2) * col("avg_price"))
+          .filter(col("o_totalprice") > lit(1.5) * col("avg_price"))
           .select("o_orderkey", "o_totalprice")
           .orderBy("o_orderkey")
       },
       Some(s"""
         SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > 2 * (SELECT ${SUM2("o_totalprice")} / COUNT(*) FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT ${SUM2("o_totalprice")} / COUNT(*) FROM orders)
         ORDER BY o_orderkey""")),
 
     // ---- Set ops: INTERSECT / EXCEPT -------------------------------------
