@@ -68,10 +68,23 @@ final class PagedTable(path: String, pageSize: Int) extends Table with SupportsR
 
 final class PagedScanBuilder(path: String, pageSize: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var requiredSchema: StructType = PagedSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT pushdown: fetch only ceil(limit / pageSize) pages instead of
+    * the whole endpoint. Safe under pushed filters too: the endpoint
+    * paginates the FILTERED result (server-side filter params, dense
+    * pages), so the first pages always hold the first qualifying rows.
+    * Partial pushdown (returns false): a page may overshoot the limit,
+    * and Spark's own Limit trims the excess. */
+  override def pushLimit(l: Int): Boolean = {
+    pushedLimit = Some(l)
+    false
+  }
+  override def isPartiallyPushed(): Boolean = pushedLimit.isDefined
 
   /** F3: accept equality filters on `market` (what the endpoint supports);
     * everything else stays with Spark. */
@@ -92,14 +105,21 @@ final class PagedScanBuilder(path: String, pageSize: Int)
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = requiredSchema
     override def toBatch: Batch = this
+    override def description(): String =
+      s"PagedScan(path=$path, pageSize=$pageSize, " +
+      s"PushedFilters=${pushed.mkString("[", ", ", "]")}, " +
+      s"PushedLimit=${pushedLimit.getOrElse("none")})"
 
     override def planInputPartitions(): Array[InputPartition] = {
       // One partition per page range. Row count comes from the endpoint's
       // total (a REST API returns `total`; the file client counts lines) —
       // a single tiny driver-side call, same as the reference's first page
-      // fetch.
+      // fetch. A pushed limit caps the page count.
       val total = new LineFileClient(path).total()
-      val pages = math.max(1L, (total + pageSize - 1) / pageSize)
+      val allPages = math.max(1L, (total + pageSize - 1) / pageSize)
+      val pages = pushedLimit
+        .map(l => math.min(allPages, math.max(1L, (l.toLong + pageSize - 1) / pageSize)))
+        .getOrElse(allPages)
       (0L until pages).map(p =>
         PagePartition(p * pageSize, pageSize): InputPartition).toArray
     }

@@ -62,6 +62,20 @@ class PagedSourceSpec extends SparkSpec {
     }
   }
 
+  test("limit pushdown caps the planned pages and keeps results exact") {
+    withDataFile(95) { path =>
+      val limited = read(path, pageSize = 10).limit(7)
+      assert(limited.count() === 7)
+      // the physical scan fetched ceil(7/10) = 1 page, not 10
+      val plan = limited.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedLimit=7"), plan)
+      // composes with a pushed filter: dense server-side-filtered pages
+      val both = read(path, pageSize = 10).filter($"market" === "US").limit(4)
+      assert(both.count() === 4)
+      assert(both.select("market").distinct().as[String].collect().toSeq === Seq("US"))
+    }
+  }
+
   test("retrying client refreshes token on 401 and retries IO errors") {
     class Flaky(inner: PageClient) extends PageClient {
       var calls = 0
