@@ -347,6 +347,29 @@ object AdvancedQueries {
                   LEFT JOIN s3 ON s3.user_id = s1.user_id)
         GROUP BY funnel_step ORDER BY funnel_step""")),
 
+    // ---- t46: pattern scrubbing / redaction ------------------------------
+    // The PII-hygiene pass every released dataset needs: replace digit
+    // runs with a placeholder and report how much changed. Pure per-row
+    // projection — zero shuffle, scales with scan width. The pattern set
+    // is restricted to syntax Java regex (Spark) and RE2 (DuckDB) treat
+    // identically (character classes + quantifiers; no backrefs or
+    // lookaround, which RE2 lacks anyway).
+    QueryDef("t46_redact",
+      (s, dir) => documents(s, dir)
+        .select(
+          col("doc_id"),
+          regexp_replace(col("text"), "[0-9]+", "<NUM>").as("clean_text"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+            .as("n_digit_chars"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS clean_text,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+                 AS n_digit_chars
+        FROM documents ORDER BY doc_id""")),
+
     // ---- t45: top distinctive term per document (tf/df ranking) ----------
     // TF-IDF's ranking decisions without its floating-point score: order
     // by (tf desc, df asc, term) — pure integer/string comparisons, so
