@@ -347,6 +347,38 @@ object AdvancedQueries {
                   LEFT JOIN s3 ON s3.user_id = s1.user_id)
         GROUP BY funnel_step ORDER BY funnel_step""")),
 
+    // ---- q42: salted join (hot-key discipline for joins) -----------------
+    // q36 demonstrates salting for AGGREGATIONS; this is the JOIN variant:
+    // the big (potentially hot-keyed) side gets a deterministic salt, the
+    // dimension side is replicated once per salt value, and the join key
+    // becomes (key, salt) — a hot key's rows now land in SALT partitions
+    // instead of one. AQE's skew-join split handles sort-merge cases at
+    // runtime; explicit salting is the portable form that also covers
+    // broadcast-ineligible skews and pre-AQE engines. Result is
+    // bit-identical to the plain join (each row matches exactly one
+    // replica), which is what the oracle checks.
+    QueryDef("q42_salted_join",
+      (s, dir) => {
+        val SALT = 8
+        val li = lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_linenumber"))
+          .withColumn("salt", pmod(col("l_linenumber"), lit(SALT)))
+        val o = orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("salt", explode(array((0 until SALT).map(lit): _*)))
+        li.join(o,
+            li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+               decSum(col("l_extendedprice")).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- t46: pattern scrubbing / redaction ------------------------------
     // The PII-hygiene pass every released dataset needs: replace digit
     // runs with a placeholder and report how much changed. Pure per-row
