@@ -146,9 +146,11 @@ object AdvancedQueries {
           .cache()
         var cur = edges.select(col("src").as("doc_id")).distinct()
           .withColumn("cluster_id", col("doc_id"))
+        var prevCache: Option[DataFrame] = None
         var changed = 1L
         var iter = 0
-        while (changed > 0 && iter < 20) {
+        val maxIter = 50 // O(component diameter) rounds; dup chains are shallow
+        while (changed > 0 && iter < maxIter) {
           val prop = edges.join(cur, col("src") === col("doc_id"))
             .select(col("dst").as("doc_id"), col("cluster_id"), lit(false).as("self"))
           // One groupBy yields BOTH the new label (min over self+neighbors)
@@ -161,9 +163,20 @@ object AdvancedQueries {
                  min(when(col("self"), col("cluster_id"))).as("old_cid"))
             .cache()
           changed = next.filter(col("new_cid") =!= col("old_cid")).count()
+          // next is materialized; the previous round's cache is now dead
+          prevCache.foreach(_.unpersist())
+          prevCache = Some(next)
           cur = next.select(col("doc_id"), col("new_cid").as("cluster_id"))
           iter += 1
         }
+        // Converge or fail LOUDLY: a silent cap would ship cluster ids
+        // that aren't the component minimum (the oracle computes exact
+        // components, so truncation is wrong, not approximate).
+        if (changed > 0) throw new IllegalStateException(
+          s"d55 label propagation did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds the cap")
+        pairs.unpersist()
+        edges.unpersist() // cur reads the final cached `next`, not edges
         cur.orderBy("doc_id")
       },
       Some(s"""
@@ -264,6 +277,9 @@ object AdvancedQueries {
     // bit-identical.
     QueryDef("d56_benchmark_contamination",
       (s, dir) => {
+        // Cached: three consumers (bench set, totals, hit-test) would each
+        // re-run the scan + shingle explosion otherwise — same discipline
+        // as d51's hashed-shingle cache.
         val grams = documents(s, dir)
           .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
           .repartition(col("doc_id")) // spread the narrow scan pre-explosion
@@ -271,6 +287,7 @@ object AdvancedQueries {
           .select(col("doc_id"), col("source"),
             explode(array_distinct(transform(shingles(col("w"), 5),
               x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("g"))
+          .cache()
         val bench = grams.filter(col("source") === "src0").select("g").distinct()
         val train = grams.filter(col("source") =!= "src0")
         val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))

@@ -71,6 +71,78 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN, shared by s64 (nprobe=1) and s65 (nprobe=2): coarse
+    * quantizer = per-label centroids (the s62 "training" output), probe
+    * the `nprobe` nearest cells, exact re-rank inside them. nprobe is
+    * the recall/cost knob: scanned rows scale by nprobe/ncells. */
+  private def ivfAnn(nprobe: Int)(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    // centroid per label as an ordered long array + its norm
+    val cent = e
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cn"))
+      .withColumn("ci",
+        floor(col("sv").cast("double") / col("cn") * 1024).cast("long"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
+                     x => x.getField("ci")).as("c"))
+      .withColumn("cnrm", qdot(col("c"), col("c")))
+    val qs = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
+    // probe: nprobe nearest centroids per query (tiny cross join, broadcast)
+    val wBest = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cell"))
+    val probed = qs.crossJoin(broadcast(cent.select(col("label").as("cell"),
+                                                    col("c"), col("cnrm"))))
+      .withColumn("score",
+        qdot(col("qq"), col("c")).cast("double") /
+          sqrt(col("cnrm").cast("double")))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "qq", "qn", "cell")
+    // exact re-rank within the probed cells only
+    val pairs = broadcast(probed)
+      .join(e, col("label") === col("cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", qcosine(qdot(col("qq"), col("q")), col("qn"), col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+    rankTopK(pairs, 5)
+  }
+
+  /** DuckDB twin of [[ivfAnn]] — same parameterization. */
+  private def duckIvfAnn(nprobe: Int): String = s"""
+        WITH $duckQuantized,
+        x AS (SELECT label, unnest(range(1, len(q) + 1)) AS dim_idx, unnest(q) AS v FROM n),
+        cm AS (SELECT label, dim_idx, SUM(v) AS sv, COUNT(*) AS cn
+               FROM x GROUP BY label, dim_idx),
+        cent AS (SELECT label,
+                        list(CAST(FLOOR(CAST(sv AS DOUBLE) / cn * 1024) AS BIGINT)
+                             ORDER BY dim_idx) AS c
+                 FROM cm GROUP BY label),
+        centn AS (SELECT label AS cell, c,
+                         CAST(list_sum(list_transform(range(1, len(c) + 1), i -> c[i] * c[i])) AS BIGINT) AS cnrm
+                  FROM cent),
+        qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM n WHERE vec_id < $NQUERIES),
+        scores AS (SELECT query_id, qq, qn, cell,
+                          CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * c[i])) AS DOUBLE)
+                            / sqrt(CAST(cnrm AS DOUBLE)) AS score
+                   FROM qs, centn),
+        probed AS (SELECT query_id, qq, qn, cell
+                   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                                      ORDER BY score DESC, cell) AS rn
+                         FROM scores)
+                   WHERE rn <= $nprobe),
+        p AS (SELECT a.query_id, b.vec_id AS neighbor_id,
+                     CAST(list_sum(list_transform(range(1, len(a.qq) + 1), i -> a.qq[i] * b.q[i])) AS DOUBLE)
+                       / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+              FROM probed a JOIN n b ON b.label = a.cell AND b.vec_id <> a.query_id)
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM p)
+        WHERE rank <= 5
+        ORDER BY query_id, rank"""
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- s60: brute-force top-5 for a query set (HOF path) --------------
@@ -138,154 +210,24 @@ object SimilarityQueries {
                CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_q
         FROM x GROUP BY label, dim_idx ORDER BY label, dim_idx""")),
 
-    // ---- s64: IVF-style ANN — coarse quantizer = per-label centroids
-    //      (the s62 "training" output), probe the nearest cell, exact
-    //      re-rank inside it. The scale path for clustered corpora: the
-    //      centroid table is tiny and broadcast; each query scans ONE
-    //      cell instead of the corpus (cells partition the data, so at
-    //      100 TB each probe is a partition-pruned scan).
+    // ---- s64: IVF-style ANN — probe the nearest cell (nprobe=1). The
+    //      scale path for clustered corpora: the centroid table is tiny
+    //      and broadcast; each query scans ONE cell instead of the corpus
+    //      (cells partition the data, so at 100 TB each probe is a
+    //      partition-pruned scan).
     //      Determinism: centroids quantized to exact longs
     //      (floor(mean * 2^10); mean is one IEEE division of exact ints —
     //      2^10 keeps |ci| <= ~2^20, so the 64-dim norm stays <= ~2^46,
     //      far inside Long; 2^20 scale could overflow BIGINT on
     //      adversarial data), cell scores = integer dot / sqrt — identical
     //      doubles on any engine; ties broken by label.
-    QueryDef("s64_ann_ivf",
-      (s, dir) => {
-        val e = quantized(s, dir)
-        // centroid per label as an ordered long array + its norm
-        val cent = e
-          .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
-          .groupBy("label", "pos")
-          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cn"))
-          .withColumn("ci",
-            floor(col("sv").cast("double") / col("cn") * 1024).cast("long"))
-          .groupBy("label")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
-                         x => x.getField("ci")).as("c"))
-          .withColumn("cnrm", qdot(col("c"), col("c")))
-        val qs = e.filter(col("vec_id") < NQUERIES)
-          .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
-        // probe: nearest centroid per query (tiny cross join, broadcast)
-        val wBest = Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("cell"))
-        val best = qs.crossJoin(broadcast(cent.select(col("label").as("cell"),
-                                                      col("c"), col("cnrm"))))
-          .withColumn("score",
-            qdot(col("qq"), col("c")).cast("double") /
-              sqrt(col("cnrm").cast("double")))
-          .withColumn("rn", row_number().over(wBest))
-          .filter(col("rn") === 1)
-          .select("query_id", "qq", "qn", "cell")
-        // exact re-rank within the probed cell only
-        val pairs = broadcast(best)
-          .join(e, col("label") === col("cell") && col("vec_id") =!= col("query_id"))
-          .withColumn("cosine", qcosine(qdot(col("qq"), col("q")), col("qn"), col("nrm")))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
-        rankTopK(pairs, 5)
-      },
-      Some(s"""
-        WITH $duckQuantized,
-        x AS (SELECT label, unnest(range(1, len(q) + 1)) AS dim_idx, unnest(q) AS v FROM n),
-        cm AS (SELECT label, dim_idx, SUM(v) AS sv, COUNT(*) AS cn
-               FROM x GROUP BY label, dim_idx),
-        cent AS (SELECT label,
-                        list(CAST(FLOOR(CAST(sv AS DOUBLE) / cn * 1024) AS BIGINT)
-                             ORDER BY dim_idx) AS c
-                 FROM cm GROUP BY label),
-        centn AS (SELECT label AS cell, c,
-                         CAST(list_sum(list_transform(range(1, len(c) + 1), i -> c[i] * c[i])) AS BIGINT) AS cnrm
-                  FROM cent),
-        qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM n WHERE vec_id < $NQUERIES),
-        scores AS (SELECT query_id, qq, qn, cell,
-                          CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * c[i])) AS DOUBLE)
-                            / sqrt(CAST(cnrm AS DOUBLE)) AS score
-                   FROM qs, centn),
-        best AS (SELECT query_id, qq, qn, cell
-                 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                                    ORDER BY score DESC, cell) AS rn
-                       FROM scores)
-                 WHERE rn = 1),
-        p AS (SELECT a.query_id, b.vec_id AS neighbor_id,
-                     CAST(list_sum(list_transform(range(1, len(a.qq) + 1), i -> a.qq[i] * b.q[i])) AS DOUBLE)
-                       / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
-              FROM best a JOIN n b ON b.label = a.cell AND b.vec_id <> a.query_id)
-        SELECT query_id, neighbor_id, rank, cosine
-        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                           ORDER BY cosine DESC, neighbor_id) AS rank
-              FROM p)
-        WHERE rank <= 5
-        ORDER BY query_id, rank""")),
+    QueryDef("s64_ann_ivf", ivfAnn(1), Some(duckIvfAnn(1))),
 
     // ---- s65: multi-probe IVF — probe the 2 nearest cells ---------------
     //      The recall/cost knob every IVF deployment tunes: probing
     //      nprobe cells multiplies scanned rows by nprobe/ncells while
     //      recovering neighbors that sit just across a cell boundary.
-    //      Identical machinery to s64 (broadcast centroids, cell-pruned
-    //      scans); only rn <= 2 changes.
-    QueryDef("s65_ann_ivf_multiprobe",
-      (s, dir) => {
-        val e = quantized(s, dir)
-        val cent = e
-          .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
-          .groupBy("label", "pos")
-          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cn"))
-          .withColumn("ci",
-            floor(col("sv").cast("double") / col("cn") * 1024).cast("long"))
-          .groupBy("label")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
-                         x => x.getField("ci")).as("c"))
-          .withColumn("cnrm", qdot(col("c"), col("c")))
-        val qs = e.filter(col("vec_id") < NQUERIES)
-          .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
-        val wBest = Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("cell"))
-        val probed = qs.crossJoin(broadcast(cent.select(col("label").as("cell"),
-                                                        col("c"), col("cnrm"))))
-          .withColumn("score",
-            qdot(col("qq"), col("c")).cast("double") /
-              sqrt(col("cnrm").cast("double")))
-          .withColumn("rn", row_number().over(wBest))
-          .filter(col("rn") <= 2)
-          .select("query_id", "qq", "qn", "cell")
-        val pairs = broadcast(probed)
-          .join(e, col("label") === col("cell") && col("vec_id") =!= col("query_id"))
-          .withColumn("cosine", qcosine(qdot(col("qq"), col("q")), col("qn"), col("nrm")))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
-        rankTopK(pairs, 5)
-      },
-      Some(s"""
-        WITH $duckQuantized,
-        x AS (SELECT label, unnest(range(1, len(q) + 1)) AS dim_idx, unnest(q) AS v FROM n),
-        cm AS (SELECT label, dim_idx, SUM(v) AS sv, COUNT(*) AS cn
-               FROM x GROUP BY label, dim_idx),
-        cent AS (SELECT label,
-                        list(CAST(FLOOR(CAST(sv AS DOUBLE) / cn * 1024) AS BIGINT)
-                             ORDER BY dim_idx) AS c
-                 FROM cm GROUP BY label),
-        centn AS (SELECT label AS cell, c,
-                         CAST(list_sum(list_transform(range(1, len(c) + 1), i -> c[i] * c[i])) AS BIGINT) AS cnrm
-                  FROM cent),
-        qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM n WHERE vec_id < $NQUERIES),
-        scores AS (SELECT query_id, qq, qn, cell,
-                          CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * c[i])) AS DOUBLE)
-                            / sqrt(CAST(cnrm AS DOUBLE)) AS score
-                   FROM qs, centn),
-        probed AS (SELECT query_id, qq, qn, cell
-                   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                                      ORDER BY score DESC, cell) AS rn
-                         FROM scores)
-                   WHERE rn <= 2),
-        p AS (SELECT a.query_id, b.vec_id AS neighbor_id,
-                     CAST(list_sum(list_transform(range(1, len(a.qq) + 1), i -> a.qq[i] * b.q[i])) AS DOUBLE)
-                       / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
-              FROM probed a JOIN n b ON b.label = a.cell AND b.vec_id <> a.query_id)
-        SELECT query_id, neighbor_id, rank, cosine
-        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                           ORDER BY cosine DESC, neighbor_id) AS rank
-              FROM p)
-        WHERE rank <= 5
-        ORDER BY query_id, rank""")),
+    QueryDef("s65_ann_ivf_multiprobe", ivfAnn(2), Some(duckIvfAnn(2))),
 
     // ---- s63: brute-force top-5 via the QCosine codegen Expression ------
     QueryDef("s63_ann_codegen",

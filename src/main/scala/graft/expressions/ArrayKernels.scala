@@ -34,11 +34,17 @@ case class SortedOverlap(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
+  // Null elements null the result out (matching zip_with-style semantics
+  // and QCosine): getLong on a null slot would silently read 0.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
     val n = xa.numElements(); val m = xb.numElements()
-    var i = 0; var j = 0; var c = 0L
+    var i = 0
+    while (i < n) { if (xa.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < m) { if (xb.isNullAt(i)) return null; i += 1 }
+    i = 0; var j = 0; var c = 0L
     while (i < n && j < m) {
       val x = xa.getLong(i); val y = xb.getLong(j)
       if (x < y) i += 1
@@ -53,19 +59,27 @@ case class SortedOverlap(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val m = ctx.freshName("m")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      val c = ctx.freshName("c")
+      val c = ctx.freshName("c"); val k = ctx.freshName("k")
       s"""
         final int $n = $a.numElements();
         final int $m = $b.numElements();
-        int $i = 0; int $j = 0; long $c = 0L;
-        while ($i < $n && $j < $m) {
-          final long $x = $a.getLong($i);
-          final long $y = $b.getLong($j);
-          if ($x < $y) { $i++; }
-          else if ($x > $y) { $j++; }
-          else { $c++; $i++; $j++; }
+        for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
+          if ($a.isNullAt($k)) ${ev.isNull} = true;
         }
-        ${ev.value} = $c;
+        for (int $k = 0; $k < $m && !${ev.isNull}; $k++) {
+          if ($b.isNullAt($k)) ${ev.isNull} = true;
+        }
+        if (!${ev.isNull}) {
+          int $i = 0; int $j = 0; long $c = 0L;
+          while ($i < $n && $j < $m) {
+            final long $x = $a.getLong($i);
+            final long $y = $b.getLong($j);
+            if ($x < $y) { $i++; }
+            else if ($x > $y) { $j++; }
+            else { $c++; $i++; $j++; }
+          }
+          ${ev.value} = $c;
+        }
       """
     })
 
@@ -106,10 +120,14 @@ case class MinHashSig(child: Expression, k: Int, p: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
+  // Null for null/empty input OR any null element (getLong on a null
+  // slot would fold a phantom 0-hash into the signature).
   override def nullSafeEval(v: Any): Any = {
     val hs = v.asInstanceOf[ArrayData]
     val n = hs.numElements()
     if (n == 0) return null
+    var chk = 0
+    while (chk < n) { if (hs.isNullAt(chk)) return null; chk += 1 }
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
@@ -135,6 +153,11 @@ case class MinHashSig(child: Expression, k: Int, p: Long)
         if ($n == 0) {
           ${ev.isNull} = true;
         } else {
+          for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+            if ($a.isNullAt($j)) ${ev.isNull} = true;
+          }
+        }
+        if (!${ev.isNull}) {
           final long[] $mins = new long[$k];
           java.util.Arrays.fill($mins, Long.MAX_VALUE);
           for (int $j = 0; $j < $n; $j++) {

@@ -20,12 +20,24 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
+  // Buffers are maintained sorted (value desc, id asc): zero, reduce, and
+  // merge all return sorted output, so reduce is an O(1) reject for rows
+  // that can't enter a full buffer (the overwhelmingly common case) and an
+  // O(k) sorted insert otherwise — no per-row re-sort.
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
   private def best(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
     s.sortBy { case (v, id) => (-v, id) }.take(k)
 
   override def zero: Seq[(Double, Long)] = Nil
-  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-    best(a +: b)
+  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+    if (b.length >= k && !beats(a, b.last)) b
+    else {
+      val (better, worse) = b.span(beats(_, a))
+      (better ++ (a +: worse)).take(k)
+    }
+  }
   override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
     best(x ++ y)
   override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b

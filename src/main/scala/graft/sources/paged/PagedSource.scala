@@ -78,13 +78,16 @@ final class PagedScanBuilder(path: String, pageSize: Int)
     * the whole endpoint. Safe under pushed filters too: the endpoint
     * paginates the FILTERED result (server-side filter params, dense
     * pages), so the first pages always hold the first qualifying rows.
-    * Partial pushdown (returns false): a page may overshoot the limit,
-    * and Spark's own Limit trims the excess. */
+    * PARTIAL pushdown — pushLimit returns true (we did push) and
+    * isPartiallyPushed returns true (a page may overshoot the limit), so
+    * Spark keeps its own Limit to trim the excess. Returning false here
+    * while still capping pages would take the side effect of an API the
+    * scan reports as failed. */
   override def pushLimit(l: Int): Boolean = {
     pushedLimit = Some(l)
-    false
+    true
   }
-  override def isPartiallyPushed(): Boolean = pushedLimit.isDefined
+  override def isPartiallyPushed(): Boolean = true
 
   /** F3: accept equality filters on `market` (what the endpoint supports);
     * everything else stays with Spark. */

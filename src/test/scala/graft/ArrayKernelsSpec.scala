@@ -55,4 +55,15 @@ class ArrayKernelsSpec extends SparkSpec {
     val df = Seq(Tuple1(Array.empty[Long]), Tuple1(null.asInstanceOf[Array[Long]])).toDF("hs")
     assert(df.select(MinHashSig($"hs", 4, 4294967311L)).collect().forall(_.isNullAt(0)))
   }
+
+  test("null array ELEMENTS null the kernels out instead of reading as 0") {
+    val withNulls = Seq(Tuple1(Seq[Option[Long]](Some(1L), None, Some(5L))))
+      .toDF("a")
+    val out1 = withNulls
+      .select(SortedOverlap($"a", typedlit(Seq(1L, 2L, 5L))))
+      .collect()
+    assert(out1.forall(_.isNullAt(0)))
+    val out2 = withNulls.select(MinHashSig($"a", 4, 4294967311L)).collect()
+    assert(out2.forall(_.isNullAt(0)))
+  }
 }
