@@ -105,8 +105,10 @@ object RelationalQueries {
 
     // ---- Deterministic first-wins dedup (A2: Spotify_API3.py:124-126) ----
     QueryDef("q05_dedup_first_wins",
-      (s, dir) => dedupFirstWins(orders(s, dir), Seq("o_custkey"),
-          Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+      // hash-aggregate survivor selection (min_by), not window sort — see
+      // Relational.dedupFirstWinsAgg for the scale rationale
+      (s, dir) => dedupFirstWinsAgg(orders(s, dir), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
         .select(col("o_custkey"), col("o_orderkey"),
                 col("o_orderdate").cast("date").as("first_order_date"))
         .orderBy("o_custkey"),

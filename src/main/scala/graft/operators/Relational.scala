@@ -42,6 +42,24 @@ object Relational {
       .drop("__rn")
   }
 
+  /** First-wins dedup as an AGGREGATE: min_by(row, order-struct) keeps
+    * one survivor per key with O(1) state and MAP-SIDE PARTIALS (the plan
+    * shows partial_min_by before the exchange; struct buffers make it a
+    * SortAggregate on the group key, not a hash aggregate, but the sort
+    * is on the key only). The window form above must shuffle every row
+    * and sort whole groups by the full order — at 100 TB under key skew
+    * that's a spilling sort, while this form shuffles one pre-combined
+    * row per key per map task. Same result when `order` is a total
+    * order (struct comparison is lexicographic); `RelationalSpec` pins the
+    * equivalence. `order` columns are PLAIN ascending columns (min_by
+    * semantics) — use the window form for descending/mixed orders or
+    * ranks beyond 1. */
+  def dedupFirstWinsAgg(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val survivor = df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(df.columns.map(col): _*), struct(order: _*)).as("__r"))
+    survivor.select(df.columns.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   /** Top-k by ordering — `sort_values(...).head(k)` (reference:
     * 01_TestingPy/Spotify_API4.py:542). Catalyst plans this as
     * TakeOrderedAndProject: each task keeps a k-sized heap, only k rows per

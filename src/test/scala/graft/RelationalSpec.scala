@@ -29,6 +29,19 @@ class RelationalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("dedupFirstWinsAgg equals the window form and pre-combines map-side") {
+    val viaAgg = dedupFirstWinsAgg(people, Seq("id"), Seq(col("score")))
+      .orderBy("id").collect().toSeq
+    val viaWindow = dedupFirstWins(people, Seq("id"), Seq(col("score").asc))
+      .orderBy("id").collect().toSeq
+    assert(viaAgg === viaWindow)
+    val plan = dedupFirstWinsAgg(people, Seq("id"), Seq(col("score")))
+      .queryExecution.executedPlan.toString
+    // the scale claim: partial aggregation before the exchange, no window
+    assert(plan.contains("partial_min_by") && !plan.contains("Window"),
+      s"expected map-side partial min_by (no window sort) in:\n$plan")
+  }
+
   test("topK equals the k-prefix of a full sort and plans TakeOrderedAndProject") {
     val out = topK(people, 2, Seq(col("score").desc))
     assert(out.select("score").as[Int].collect().toSeq === Seq(5, 4))
