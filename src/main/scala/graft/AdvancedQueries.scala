@@ -129,7 +129,8 @@ object AdvancedQueries {
     // Iterative min-label propagation: each round, every node takes the
     // min label among itself and its neighbors — a join + groupBy per
     // round, converging in O(component diameter) rounds (near-dup
-    // components are shallow; capped at 20). The driver loop only ever
+    // components are shallow; hard-capped, failing loudly if exceeded).
+    // The driver loop only ever
     // collects one change-count scalar per round — the data never leaves
     // the cluster, which is what makes this shape work on 100 TB
     // (same dataflow as large-scale CC algorithms a la large-star/
@@ -171,12 +172,16 @@ object AdvancedQueries {
         }
         // Converge or fail LOUDLY: a silent cap would ship cluster ids
         // that aren't the component minimum (the oracle computes exact
-        // components, so truncation is wrong, not approximate).
-        if (changed > 0) throw new IllegalStateException(
-          s"d55 label propagation did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — component diameter exceeds the cap")
+        // components, so truncation is wrong, not approximate). Round
+        // caches are dead on both paths — release them before any throw.
         pairs.unpersist()
         edges.unpersist() // cur reads the final cached `next`, not edges
+        if (changed > 0) {
+          prevCache.foreach(_.unpersist())
+          throw new IllegalStateException(
+            s"d55 label propagation did not converge in $maxIter rounds " +
+            s"($changed labels still changing) — component diameter exceeds the cap")
+        }
         cur.orderBy("doc_id")
       },
       Some(s"""
@@ -293,12 +298,19 @@ object AdvancedQueries {
         val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
         val hits = train.join(broadcast(bench), Seq("g"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-        totals.join(hits, Seq("doc_id"), "left")
+        val out = totals.join(hits, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_grams"),
             coalesce(col("n_hit"), lit(0L)).as("n_hit"),
             (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
               .as("contamination"))
           .orderBy("doc_id")
+          .cache()
+        // Materialize the (tiny, one-row-per-doc) result so the big
+        // exploded gram cache can be released immediately instead of
+        // occupying executor storage for the rest of the session.
+        out.count()
+        grams.unpersist()
+        out
       },
       Some(s"""
         WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),

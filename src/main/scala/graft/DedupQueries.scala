@@ -190,7 +190,7 @@ object DedupQueries {
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        cand
+        val out = cand
           .join(broadcast(arr.select(col("doc_id").as("doc_a"), col("sh").as("sha"))),
                 Seq("doc_a"))
           .join(broadcast(arr.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
@@ -204,6 +204,12 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.8)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
+          .cache()
+        // materialize the (small) pair result, then free the big hashed-
+        // shingle cache rather than holding it for the rest of the session
+        out.count()
+        pre.unpersist()
+        out
       },
       Some {
         val sigCols = (0 until K).map(i =>

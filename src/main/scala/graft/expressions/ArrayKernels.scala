@@ -35,15 +35,26 @@ case class SortedOverlap(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   // Null elements null the result out (matching zip_with-style semantics
-  // and QCosine): getLong on a null slot would silently read 0.
+  // and QCosine): getLong on a null slot would silently read 0. The scan
+  // is gated on containsNull, statically known — d51/d53's arrays are
+  // containsNull=false, so the hot path pays nothing.
+  private lazy val leftMayHaveNulls =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  private lazy val rightMayHaveNulls =
+    right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
     val n = xa.numElements(); val m = xb.numElements()
     var i = 0
-    while (i < n) { if (xa.isNullAt(i)) return null; i += 1 }
-    i = 0
-    while (i < m) { if (xb.isNullAt(i)) return null; i += 1 }
+    if (leftMayHaveNulls) {
+      while (i < n) { if (xa.isNullAt(i)) return null; i += 1 }
+    }
+    if (rightMayHaveNulls) {
+      i = 0
+      while (i < m) { if (xb.isNullAt(i)) return null; i += 1 }
+    }
     i = 0; var j = 0; var c = 0L
     while (i < n && j < m) {
       val x = xa.getLong(i); val y = xb.getLong(j)
@@ -60,15 +71,19 @@ case class SortedOverlap(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val c = ctx.freshName("c"); val k = ctx.freshName("k")
+      val leftScan = if (leftMayHaveNulls) s"""
+        for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
+          if ($a.isNullAt($k)) ${ev.isNull} = true;
+        }""" else ""
+      val rightScan = if (rightMayHaveNulls) s"""
+        for (int $k = 0; $k < $m && !${ev.isNull}; $k++) {
+          if ($b.isNullAt($k)) ${ev.isNull} = true;
+        }""" else ""
       s"""
         final int $n = $a.numElements();
         final int $m = $b.numElements();
-        for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
-          if ($a.isNullAt($k)) ${ev.isNull} = true;
-        }
-        for (int $k = 0; $k < $m && !${ev.isNull}; $k++) {
-          if ($b.isNullAt($k)) ${ev.isNull} = true;
-        }
+        $leftScan
+        $rightScan
         if (!${ev.isNull}) {
           int $i = 0; int $j = 0; long $c = 0L;
           while ($i < $n && $j < $m) {
@@ -121,13 +136,19 @@ case class MinHashSig(child: Expression, k: Int, p: Long)
   override def nullable: Boolean = true
 
   // Null for null/empty input OR any null element (getLong on a null
-  // slot would fold a phantom 0-hash into the signature).
+  // slot would fold a phantom 0-hash into the signature). The element
+  // scan is gated on containsNull, statically known.
+  private lazy val mayHaveNulls =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(v: Any): Any = {
     val hs = v.asInstanceOf[ArrayData]
     val n = hs.numElements()
     if (n == 0) return null
-    var chk = 0
-    while (chk < n) { if (hs.isNullAt(chk)) return null; chk += 1 }
+    if (mayHaveNulls) {
+      var chk = 0
+      while (chk < n) { if (hs.isNullAt(chk)) return null; chk += 1 }
+    }
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
@@ -152,11 +173,11 @@ case class MinHashSig(child: Expression, k: Int, p: Long)
         final int $n = $a.numElements();
         if ($n == 0) {
           ${ev.isNull} = true;
-        } else {
+        }${if (mayHaveNulls) s""" else {
           for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
             if ($a.isNullAt($j)) ${ev.isNull} = true;
           }
-        }
+        }""" else ""}
         if (!${ev.isNull}) {
           final long[] $mins = new long[$k];
           java.util.Arrays.fill($mins, Long.MAX_VALUE);

@@ -57,7 +57,8 @@ object Relational {
   def dedupFirstWinsAgg(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val survivor = df.groupBy(keys.map(col): _*)
       .agg(min_by(struct(df.columns.map(col): _*), struct(order: _*)).as("__r"))
-    survivor.select(df.columns.map(c => col(s"__r.$c").as(c)): _*)
+    // getField, not col("__r.name"): safe for column names containing dots
+    survivor.select(df.columns.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** Top-k by ordering — `sort_values(...).head(k)` (reference:

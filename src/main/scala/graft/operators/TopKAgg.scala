@@ -20,12 +20,19 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
+  require(k > 0, s"TopKAgg requires k > 0, got $k")
+
   // Buffers are maintained sorted (value desc, id asc): zero, reduce, and
   // merge all return sorted output, so reduce is an O(1) reject for rows
   // that can't enter a full buffer (the overwhelmingly common case) and an
-  // O(k) sorted insert otherwise — no per-row re-sort.
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // O(k) sorted insert otherwise — no per-row re-sort. `beats` uses the
+  // SAME total order as merge's sortBy (Scala 2.13 Ordering.Double.
+  // TotalOrdering == java Double.compare): NaN sorts as the worst value
+  // on both paths, so results can't depend on partitioning.
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(-a._1, -b._1)
+    c < 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def best(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
     s.sortBy { case (v, id) => (-v, id) }.take(k)
