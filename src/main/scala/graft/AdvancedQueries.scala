@@ -376,6 +376,51 @@ object AdvancedQueries {
                   LEFT JOIN s3 ON s3.user_id = s1.user_id)
         GROUP BY funnel_step ORDER BY funnel_step""")),
 
+    // ---- q43: RANGE-frame window (value-based frame, not row-based) ------
+    // "Events by this user in the last 30 minutes" needs a RANGE frame:
+    // the frame extends by VALUE distance on the ordering key, so ties
+    // and gaps are handled correctly where a ROWS frame would miscount.
+    // Frame math on integer microseconds; the aggregate is a count —
+    // integer-exact on any engine (a double sum over a sliding frame
+    // would be at the mercy of accumulation order).
+    QueryDef("q43_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(-1800000000L, Window.currentRow)
+        events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+          .withColumn("n_last_30m", count(lit(1)).over(w))
+          .select("event_id", "user_id", "n_last_30m")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, n_last_30m FROM (
+          SELECT event_id, user_id,
+                 COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+                   AS n_last_30m
+          FROM events)
+        ORDER BY event_id""")),
+
+    // ---- q44: EXCEPT ALL / INTERSECT ALL (bag semantics) -----------------
+    // q21/q22 cover the DISTINCT set ops; the ALL variants keep
+    // multiplicities (count-based subtraction), a genuinely different
+    // semantic Spark implements with a counting aggregate, not a dedup.
+    QueryDef("q44_except_all",
+      (s, dir) => {
+        val li = lineitem(s, dir)
+        li.filter(col("l_quantity") >= 30).select("l_orderkey")
+          .exceptAll(li.filter(col("l_returnflag") === "R").select("l_orderkey"))
+          .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+          .orderBy("l_orderkey")
+      },
+      Some("""
+        SELECT l_orderkey, COUNT(*) AS n FROM (
+          SELECT l_orderkey FROM lineitem WHERE l_quantity >= 30
+          EXCEPT ALL
+          SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
     // ---- q42: salted join (hot-key discipline for joins) -----------------
     // q36 demonstrates salting for AGGREGATIONS; this is the JOIN variant:
     // the big (potentially hot-keyed) side gets a deterministic salt, the
