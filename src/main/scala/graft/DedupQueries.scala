@@ -158,13 +158,15 @@ object DedupQueries {
         // (15 hex digits) is the verify-set element, and its top 32 bits
         // (h60 >> 28 == the 8-hex-digit prefix) is the minhash
         // fingerprint — bit-identical to hashing twice, as the DuckDB
-        // oracle does. The compact (doc_id, h60[]) frame is cached: it
-        // feeds three consumers (two verify-join sides + signatures), and
-        // without the cache each re-runs the shingle explosion.
+        // oracle does. Deliberately NOT cached despite three consumers:
+        // ReuseExchange shares the repartition shuffle, and recomputing
+        // the post-shuffle projection inside whole-stage codegen measured
+        // ~40% faster than reading wide array rows back from block-
+        // manager cache (3.3s vs 4.7-5.3s at sf0.1 — same result as the
+        // round-1 persist experiment on d53).
         val pre = base.select(col("doc_id"),
           transform(col("shs"),
             x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")).as("h60"))
-          .cache()
         // Sorted + distinct hashed shingle sets: the verify step below
         // intersects them with the SortedOverlap merge-scan kernel.
         val arr = pre.select(col("doc_id"),
@@ -204,11 +206,6 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.8)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
-          .cache()
-        // materialize the (small) pair result, then free the big hashed-
-        // shingle cache rather than holding it for the rest of the session
-        out.count()
-        pre.unpersist()
         out
       },
       Some {
