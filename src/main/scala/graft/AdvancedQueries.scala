@@ -282,9 +282,11 @@ object AdvancedQueries {
     // bit-identical.
     QueryDef("d56_benchmark_contamination",
       (s, dir) => {
-        // Cached: three consumers (bench set, totals, hit-test) would each
-        // re-run the scan + shingle explosion otherwise — same discipline
-        // as d51's hashed-shingle cache.
+        // Deliberately NOT cached despite three consumers (bench set,
+        // totals, hit-test): ReuseExchange shares the repartition
+        // shuffle, and recomputing the codegen'd explosion measured ~3x
+        // faster than materializing the exploded frame through the block
+        // manager (0.8s vs 2.8-3.3s at sf0.1; same result as d51/d53).
         val grams = documents(s, dir)
           .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
           .repartition(col("doc_id")) // spread the narrow scan pre-explosion
@@ -292,7 +294,6 @@ object AdvancedQueries {
           .select(col("doc_id"), col("source"),
             explode(array_distinct(transform(shingles(col("w"), 5),
               x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("g"))
-          .cache()
         val bench = grams.filter(col("source") === "src0").select("g").distinct()
         val train = grams.filter(col("source") =!= "src0")
         val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
@@ -304,12 +305,6 @@ object AdvancedQueries {
             (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
               .as("contamination"))
           .orderBy("doc_id")
-          .cache()
-        // Materialize the (tiny, one-row-per-doc) result so the big
-        // exploded gram cache can be released immediately instead of
-        // occupying executor storage for the rest of the session.
-        out.count()
-        grams.unpersist()
         out
       },
       Some(s"""
