@@ -137,13 +137,16 @@ object AdvancedQueries {
     // small-star, simplified for shallow dup clusters).
     QueryDef("d55_dup_clusters",
       (s, dir) => {
-        // Cache the pair set BEFORE the two-direction union: the union's
-        // branches are otherwise two full recomputations of the pair
-        // pipeline at edges-materialization time.
-        val pairs = DedupQueries.bigramPairs(s, dir).select("doc_a", "doc_b").cache()
-        val edges = pairs
-          .union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst")
+        // Both edge directions from ONE pass over the pair pipeline (an
+        // explode, not a union of two subtrees that would each recompute
+        // it). edges IS cached — unlike the one-shot caches dropped from
+        // d51/d56, it is consumed twice per propagation round, and the
+        // cached frame is two narrow longs per edge.
+        val edges = DedupQueries.bigramPairs(s, dir)
+          .select(explode(array(
+            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+            struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
           .cache()
         var cur = edges.select(col("src").as("doc_id")).distinct()
           .withColumn("cluster_id", col("doc_id"))
@@ -174,7 +177,6 @@ object AdvancedQueries {
         // that aren't the component minimum (the oracle computes exact
         // components, so truncation is wrong, not approximate). Round
         // caches are dead on both paths — release them before any throw.
-        pairs.unpersist()
         edges.unpersist() // cur reads the final cached `next`, not edges
         if (changed > 0) {
           prevCache.foreach(_.unpersist())
