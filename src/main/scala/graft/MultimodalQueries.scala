@@ -74,6 +74,32 @@ object MultimodalQueries {
         FROM (SELECT doc_id, CAST($duckFrames AS BIGINT) AS n_frames FROM documents)
         ORDER BY doc_id, frame_idx""")),
 
+    // ---- m74: feature extraction (stub kernel, real vector plumbing) ----
+    // Per-media fixed-width numeric features (bytes 4..11 of the payload
+    // standing in for pooled activations / histogram bins) plus their
+    // exact integer norm — the decode -> FEATURES -> similarity pipeline
+    // stage, producing exactly the embedding-column shape the s6x ANN
+    // operators consume. Map-side only, zero shuffle.
+    QueryDef("m74_media_features",
+      (s, dir) => {
+        val feats = (4 until 12).map(i => columnFeature(col("text"), i))
+        documents(s, dir)
+          .select(Seq(col("doc_id")) ++
+            feats.zipWithIndex.map { case (f, i) => f.as(s"f$i") } :+
+            feats.map(f => f * f).reduce(_ + _).as("f_norm"): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val fs = (4 until 12).map(i => s"CAST(${duckByte(i)} AS BIGINT)")
+        val cols = fs.zipWithIndex.map { case (f, i) => s"$f AS f$i" }.mkString(",\n               ")
+        val norm = fs.map(f => s"($f) * ($f)").mkString(" + ")
+        s"""
+        SELECT doc_id,
+               $cols,
+               CAST($norm AS BIGINT) AS f_norm
+        FROM documents ORDER BY doc_id"""
+      }),
+
     // ---- m73: media stats by format (metadata-driven planning) ----------
     QueryDef("m73_media_stats",
       (s, dir) => documents(s, dir)

@@ -44,6 +44,12 @@ object Multimodal {
   private def hexByte(text: org.apache.spark.sql.Column, i: Int) =
     conv(substring(md5(text), 2 * i + 1, 2), 16, 10).cast("long")
 
+  /** STUB feature extraction: payload byte i as a feature value (a real
+    * extractor would be pooled activations or a color histogram; the
+    * pipeline shape — per-media fixed-width numeric features feeding the
+    * s6x similarity ops — is what's real here). */
+  def columnFeature(text: org.apache.spark.sql.Column, i: Int) = hexByte(text, i)
+
   def columnWidth(text: org.apache.spark.sql.Column)  = hexByte(text, 0) % 64 + 1
   def columnHeight(text: org.apache.spark.sql.Column) = hexByte(text, 1) % 64 + 1
   def columnFormat(text: org.apache.spark.sql.Column) =
