@@ -140,8 +140,8 @@ object AdvancedQueries {
         // Both edge directions from ONE pass over the pair pipeline (an
         // explode, not a union of two subtrees that would each recompute
         // it). edges IS cached — unlike the one-shot caches dropped from
-        // d51/d56, it is consumed twice per propagation round, and the
-        // cached frame is two narrow longs per edge.
+        // d51/d56, it is re-read every propagation round, and the cached
+        // frame is two narrow longs per edge.
         val edges = DedupQueries.bigramPairs(s, dir)
           .select(explode(array(
             struct(col("doc_a").as("src"), col("doc_b").as("dst")),
@@ -177,7 +177,13 @@ object AdvancedQueries {
         // that aren't the component minimum (the oracle computes exact
         // components, so truncation is wrong, not approximate). Round
         // caches are dead on both paths — release them before any throw.
-        edges.unpersist() // cur reads the final cached `next`, not edges
+        // cur reads the final cached `next`, not edges, so edges can go.
+        // The final `next` itself stays cached DELIBERATELY: the returned
+        // result depends on it, and its lineage chains through every
+        // (now-unpersisted) round — dropping it would make any re-execution
+        // replay the whole iteration. It is one narrow row per clustered
+        // doc; the frames worth releasing are released.
+        edges.unpersist()
         if (changed > 0) {
           prevCache.foreach(_.unpersist())
           throw new IllegalStateException(

@@ -74,12 +74,32 @@ object MultimodalQueries {
         FROM (SELECT doc_id, CAST($duckFrames AS BIGINT) AS n_frames FROM documents)
         ORDER BY doc_id, frame_idx""")),
 
+    // ---- m73: media stats by format (metadata-driven planning) ----------
+    QueryDef("m73_media_stats",
+      (s, dir) => documents(s, dir)
+        .select(columnFormat(col("text")).as("format"),
+                (columnWidth(col("text")) * columnHeight(col("text"))).as("px"))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"),
+             sum(col("px")).as("total_px"),
+             (sum(col("px")).cast("double") / count(lit(1))).as("mean_px"))
+        .orderBy("format"),
+      Some(s"""
+        SELECT format, COUNT(*) AS n,
+               CAST(SUM(px) AS BIGINT) AS total_px,
+               CAST(SUM(px) AS DOUBLE) / COUNT(*) AS mean_px
+        FROM (SELECT $duckFormat AS format,
+                     CAST(($duckWidth) * ($duckHeight) AS BIGINT) AS px
+              FROM documents)
+        GROUP BY format ORDER BY format""")),
+
     // ---- m74: feature extraction (stub kernel, real vector plumbing) ----
     // Per-media fixed-width numeric features (bytes 4..11 of the payload
     // standing in for pooled activations / histogram bins) plus their
     // exact integer norm — the decode -> FEATURES -> similarity pipeline
-    // stage, producing exactly the embedding-column shape the s6x ANN
-    // operators consume. Map-side only, zero shuffle.
+    // stage. (Packed into an array column these become the numeric input
+    // the s6x ANN operators consume; emitted flat here so the oracle
+    // compare stays scalar.) Map-side only, zero shuffle.
     QueryDef("m74_media_features",
       (s, dir) => {
         val feats = (4 until 12).map(i => columnFeature(col("text"), i))
@@ -98,24 +118,6 @@ object MultimodalQueries {
                $cols,
                CAST($norm AS BIGINT) AS f_norm
         FROM documents ORDER BY doc_id"""
-      }),
+      }))
 
-    // ---- m73: media stats by format (metadata-driven planning) ----------
-    QueryDef("m73_media_stats",
-      (s, dir) => documents(s, dir)
-        .select(columnFormat(col("text")).as("format"),
-                (columnWidth(col("text")) * columnHeight(col("text"))).as("px"))
-        .groupBy("format")
-        .agg(count(lit(1)).as("n"),
-             sum(col("px")).as("total_px"),
-             (sum(col("px")).cast("double") / count(lit(1))).as("mean_px"))
-        .orderBy("format"),
-      Some(s"""
-        SELECT format, COUNT(*) AS n,
-               CAST(SUM(px) AS BIGINT) AS total_px,
-               CAST(SUM(px) AS DOUBLE) / COUNT(*) AS mean_px
-        FROM (SELECT $duckFormat AS format,
-                     CAST(($duckWidth) * ($duckHeight) AS BIGINT) AS px
-              FROM documents)
-        GROUP BY format ORDER BY format""")))
 }
