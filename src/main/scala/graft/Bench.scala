@@ -18,7 +18,11 @@ object Bench {
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // noop sink, not count(): count() lets Catalyst prune every computed
+      // column (a projection-heavy query would bench as a bare row scan)
+      // and drop unlimited sorts; the noop writer materializes each row
+      // fully with zero sink cost — the honest per-query number.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
