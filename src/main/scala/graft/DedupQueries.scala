@@ -234,10 +234,15 @@ object DedupQueries {
     // ---- d52: SimHash fingerprint (16-bit, md5-vote construction) --------
     QueryDef("d52_simhash",
       (s, dir) => {
+        // md5 projected ONCE per token; the 16 vote sums read hex digits
+        // of that column (16x fewer md5 evaluations than hashing inside
+        // each aggregate expression — aggregates don't share
+        // subexpressions across update functions).
         val tok = documents(s, dir)
           .repartition(col("doc_id")) // spread before the token explosion
           .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        val votes = (0 until 16).map(b => sum(simhashVote(col("tok"), b)).as(s"v$b"))
+          .select(col("doc_id"), md5(col("tok")).as("h"))
+        val votes = (0 until 16).map(b => sum(simhashVoteFromHex(col("h"), b)).as(s"v$b"))
         tok.groupBy("doc_id")
           .agg(votes.head, votes.tail: _*)
           .select(col("doc_id"),

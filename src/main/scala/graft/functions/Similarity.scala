@@ -60,11 +60,22 @@ object Similarity {
   /** SimHash bit b of a token: the low bit of hex digit b of md5(token).
     * 16 bits; portable to SQL as (strpos('0123..f', substr(md5,b+1,1))-1)%2. */
   def simhashBit(token: Column, b: Int): Column =
-    (conv(substring(md5(token), b + 1, 1), 16, 10).cast("long") % 2)
+    simhashBitFromHex(md5(token), b)
+
+  /** SimHash bit b from an ALREADY-COMPUTED md5 hex column — project the
+    * md5 once and derive all 16 bits from it, instead of 16 md5 calls
+    * per token (aggregate update expressions don't share subexpressions
+    * the way a single projection does). */
+  def simhashBitFromHex(hex: Column, b: Int): Column =
+    (conv(substring(hex, b + 1, 1), 16, 10).cast("long") % 2)
 
   /** Per-token SimHash vote contribution for bit b: +1 / -1. */
   def simhashVote(token: Column, b: Int): Column =
     simhashBit(token, b) * 2 - 1
+
+  /** Vote from a pre-computed md5 hex column (see simhashBitFromHex). */
+  def simhashVoteFromHex(hex: Column, b: Int): Column =
+    simhashBitFromHex(hex, b) * 2 - 1
 
   /** Assemble a 16-bit SimHash from 16 vote columns (sum>0 => bit set). */
   def simhashFromVotes(votes: Seq[Column]): Column =
