@@ -379,6 +379,30 @@ object AdvancedQueries {
                   LEFT JOIN s3 ON s3.user_id = s1.user_id)
         GROUP BY funnel_step ORDER BY funnel_step""")),
 
+    // ---- q45: changelog compaction (CDC latest-wins upsert) --------------
+    // Treat events as a changelog keyed by (user_id, event_type): the
+    // compacted table keeps each key's LATEST record — the batch upsert/
+    // SCD-1 primitive. Same max_by aggregate shape as q05's min_by dedup:
+    // map-side partials, one pre-combined row per key per task, no
+    // window sort. Tie-break on event_id makes the survivor total-ordered.
+    QueryDef("q45_cdc_compact",
+      (s, dir) => events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(max_by(struct(col("ts_us"), col("event_id"), col("value")),
+                    struct(col("ts_us"), col("event_id"))).as("__r"))
+        .select(col("user_id"), col("event_type"),
+                col("__r").getField("event_id").as("last_event_id"),
+                col("__r").getField("ts_us").as("last_ts_us"))
+        .orderBy("user_id", "event_type"),
+      Some("""
+        SELECT user_id, event_type, last_event_id, last_ts_us FROM (
+          SELECT user_id, event_type, event_id AS last_event_id,
+                 epoch_us(ts) AS last_ts_us,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 ORDER BY user_id, event_type""")),
+
     // ---- q43: RANGE-frame window (value-based frame, not row-based) ------
     // "Events by this user in the last 30 minutes" needs a RANGE frame:
     // the frame extends by VALUE distance on the ordering key, so ties

@@ -228,6 +228,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog and stops (incremental batch)") {
+    // The production backfill pattern: run the STREAMING pipeline over
+    // whatever has landed, checkpoint, and exit — same code as the
+    // 24/7 stream, scheduled like a batch job.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-avnow").toFile
+    val srcDir = new java.io.File(tmp, "src"); srcDir.mkdirs()
+    try {
+      Seq(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(11), 2, "view", 2.0),
+          Event(3, ts(300), 3, "click", 4.0))
+        .toDF().withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(srcDir.getPath)
+      val q = Streams.tumbling(Streams.eventFileStream(spark, srcDir.getPath),
+          "10 minutes", "10 minutes")
+        .writeStream.format("memory").queryName("avnow")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000) // AvailableNow terminates on its own
+      assert(!q.isActive, "query should stop after draining the backlog")
+      // windows [0,10) and [10,20) closed by the ts(300) watermark advance
+      assert(spark.table("avnow").count() >= 2)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("file stream source reads landed parquet and the partitioned sink writes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toFile
     val srcDir = new java.io.File(tmp, "src"); srcDir.mkdirs()
