@@ -85,14 +85,16 @@ object EventQueries {
 
     // ---- Semi-structured extraction from the JSON props column (X6) ------
     QueryDef("q33_json_extract",
+      // try_cast, not cast: regexp_extract yields '' on no-match and ANSI
+      // CAST('' AS LONG) throws — props without "k" must yield null.
       (s, dir) => events(s, dir)
         .select(col("event_id"),
-                regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
-                  .cast("long").as("k"))
+                expr("""try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)""")
+                  .as("k"))
         .orderBy("event_id"),
       Some("""
         SELECT event_id,
-               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         FROM events ORDER BY event_id""")),
 
     // ---- As-of join (attribution): latest click at-or-before each
@@ -138,7 +140,6 @@ object EventQueries {
         .filter(col("bucket_start") >= 0)
         .groupBy("bucket_start")
         .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
-        .filter(col("n") > 0)
         .orderBy("bucket_start"),
       Some("""
         SELECT ((epoch_us(ts) // 300000000) - w_off) * 300 AS bucket_start,

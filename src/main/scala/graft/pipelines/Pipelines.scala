@@ -112,10 +112,17 @@ object Pipelines {
          playlistItems: DataFrame): E2 = {
 
     // U2: per-country fan-out, each branch stamped (P6), union + dedup.
-    val releases = unionDedup(
-      releasesByCountry.toSeq.sortBy(_._1).map { case (country, bronze) =>
+    // DETERMINISTIC first-wins by country order (the reference keeps the
+    // first country's row in loop order, Spotify_API4.py:512-523) —
+    // dropDuplicates would pick an arbitrary survivor, so an album
+    // released in several countries would flip source_country run-to-run.
+    val stamped = releasesByCountry.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((country, bronze), i) =>
         Flatten.albums(bronze, sourceCountry = Some(country))
-      }, Seq("id"))
+          .withColumn("__pri", lit(i))
+    }
+    val releases = dedupFirstWins(unionAll(stamped), Seq("id"),
+      Seq(col("__pri").asc)).drop("__pri")
 
     val playlists = Flatten.playlists(playlistsBronze)
 
@@ -142,13 +149,6 @@ object Pipelines {
     E2(releases, playlists, topPlaylists, playlistTracks, recapDf)
   }
 
-  /** A1: the reference's "REKAPITULASI" row-count recap
-    * (01_TestingPy/Spotify_API3.py:424-429) as a tiny summary frame.
-    * Each count is a distributed aggregate; only one row per table
-    * reaches the driver.
-    */
-  def recap(tables: Seq[(String, DataFrame)]): DataFrame =
-    tables.map { case (name, df) =>
-      df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("table"), col("n_rows"))
-    }.reduce(_.unionByName(_))
+  // A1 recap comes from Relational.recap (column `table_name`) — a local
+  // re-implementation here used to shadow it with a divergent schema.
 }

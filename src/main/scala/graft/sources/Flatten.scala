@@ -72,7 +72,14 @@ object Flatten {
       coalesce(col("duration_ms"), lit(0)).as("duration_ms"),
       coalesce(col("explicit"), lit(false)).as("explicit"),
       artistId.as("artist_id"),
-      coalesce(firstArtistOr(col("artists")), artistName).as("artist_name"))
+      // Fallback chain: payload's first artist, else the fan-out parent
+      // context (when provided), else 'Unknown'. firstArtistOr can't sit
+      // first here — it never returns null, so the caller's context would
+      // be unreachable for empty artist arrays.
+      coalesce(
+        when(size(col("artists")) > 0, col("artists").getItem(0).getField("name")),
+        nullif(artistName, lit("")),
+        lit("Unknown")).as("artist_name"))
       ++ passthrough: _*)
 
   /** Albums / new releases (P1+P2+P3; Spotify_API.py:143-153). v4 appends

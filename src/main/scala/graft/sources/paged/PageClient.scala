@@ -11,8 +11,9 @@ import scala.io.Source
 trait PageClient {
 
   /** Total rows the endpoint reports (REST APIs return `total` with the
-    * first page). */
-  def total(): Long
+    * first page). With a market filter, the FILTERED total — pagination
+    * is over the filtered result, so partition planning must be too. */
+  def total(market: Option[String] = None): Long
 
   /** S4: fetch rows [offset, offset+limit), already filtered by `market`
     * (F3) and projected to `fields` in endpoint order (P8). */
@@ -33,11 +34,16 @@ class LineFileClient(path: String) extends PageClient {
 
   private def readAll(): Seq[Array[String]] = {
     val src = Source.fromFile(path)
-    try src.getLines().map(_.split('|')).toList
+    // split with limit -1: a trailing empty field (empty market) must
+    // survive, or downstream index-3 access dies on a 3-element array
+    try src.getLines().map(_.split("\\|", -1)).toList
     finally src.close()
   }
 
-  override def total(): Long = readAll().size.toLong
+  override def total(market: Option[String] = None): Long = (market match {
+    case Some(m) => readAll().count(_(3) == m)
+    case None => readAll().size
+  }).toLong
 
   override def fetchPage(offset: Long, limit: Int, market: Option[String],
                          fields: Array[String]): Seq[Array[String]] = {
@@ -82,7 +88,8 @@ class RetryingClient(inner: PageClient, maxRetries: Int = 3,
     throw last
   }
 
-  override def total(): Long = withRetry(inner.total())
+  override def total(market: Option[String] = None): Long =
+    withRetry(inner.total(market))
   override def fetchPage(offset: Long, limit: Int, market: Option[String],
                          fields: Array[String]): Seq[Array[String]] =
     withRetry(inner.fetchPage(offset, limit, market, fields))
@@ -92,6 +99,12 @@ class RetryingClient(inner: PageClient, maxRetries: Int = 3,
 }
 
 final class UnauthorizedException extends RuntimeException("401")
+
+/** One TokenProvider per executor JVM (the documented S1 semantic):
+  * partition readers share this instead of minting a token per page. */
+object ExecutorAuth {
+  val provider: TokenProvider = new TokenProvider
+}
 
 /** S1: client-credentials token cache with expiry — the reference's
   * `get_token` (01_TestingPy/Spotify_API.py:16-40) minus the HTTP call.

@@ -117,8 +117,15 @@ final class PagedScanBuilder(path: String, pageSize: Int)
       // One partition per page range. Row count comes from the endpoint's
       // total (a REST API returns `total`; the file client counts lines) —
       // a single tiny driver-side call, same as the reference's first page
-      // fetch. A pushed limit caps the page count.
-      val total = new LineFileClient(path).total()
+      // fetch, made through the retry/re-auth wrapper like every other
+      // call (a transient failure at plan time shouldn't kill the scan).
+      // With a pushed filter the FILTERED total plans the pages — the
+      // endpoint paginates the filtered result, so the unfiltered count
+      // would schedule mostly-empty page tasks. A pushed limit then caps
+      // the page count.
+      val marketFilter = pushed.collectFirst { case EqualTo("market", v: String) => v }
+      val total = new RetryingClient(new LineFileClient(path),
+        auth = ExecutorAuth.provider).total(marketFilter)
       val allPages = math.max(1L, (total + pageSize - 1) / pageSize)
       val pages = pushedLimit
         .map(l => math.min(allPages, math.max(1L, (l.toLong + pageSize - 1) / pageSize)))
@@ -142,7 +149,11 @@ final case class PagedReaderFactory(path: String, fields: Array[String],
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[PagePartition]
-    new PagedReader(new RetryingClient(new LineFileClient(path)), page, fields, market)
+    // auth = the executor-level provider: one cached token per JVM, not
+    // one minted per page reader
+    new PagedReader(
+      new RetryingClient(new LineFileClient(path), auth = ExecutorAuth.provider),
+      page, fields, market)
   }
 }
 

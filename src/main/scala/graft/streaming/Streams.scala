@@ -141,9 +141,14 @@ object Streams {
     * per CLOSED session, never partials; extendable to per-session
     * sequences, funnels, abandoned-cart logic...).
     *
-    * Gap semantics match batch q31: a new session starts when
-    * ts - prev_ts > gap (strict), in integer microseconds. State per key
-    * is O(1); event-time timeout frees idle keys.
+    * Gap semantics match batch q31: events more than `gap` apart (strict)
+    * are different sessions, in integer microseconds. Correct under
+    * OUT-OF-ORDER arrival up to the watermark: state is the LIST of open
+    * sessions per user, a new event extends any session it lands within
+    * `gap` of (merging sessions it bridges) or opens its own, and a
+    * session is emitted only once the watermark passes its close time —
+    * never inline, because an in-horizon straggler could still extend it.
+    * State per key is O(open sessions), bounded by horizon/gap.
     */
   def sessionize(events: Dataset[Event], gapUs: Long = 1800000000L)
                 (implicit spark: SparkSession): Dataset[ClosedSession] = {
@@ -151,42 +156,43 @@ object Streams {
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[Seq[SessionState], ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+        (userId: Long, rows: Iterator[Event], state: GroupState[Seq[SessionState]]) =>
           def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+          val wmMs = state.getCurrentWatermarkMs()
 
-          if (state.hasTimedOut) {
-            // Watermark passed last+gap with no new events: close and emit.
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(userId, s.start / 1000000L,
-              s.last / 1000000L, s.nEvents, s.total))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => us(e.ts))
-            var closed = List.empty[ClosedSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
+          // 1. fold the batch's events into the open-session set
+          var open = state.getOption.getOrElse(Nil).toList
+          if (!state.hasTimedOut) {
+            rows.toSeq.sortBy(e => us(e.ts)).foreach { e =>
               val t = us(e.ts)
-              cur match {
-                case Some(s) if t - s.last > gapUs =>
-                  closed ::= ClosedSession(userId, s.start / 1000000L,
-                    s.last / 1000000L, s.nEvents, s.total)
-                  cur = Some(SessionState(t, t, 1L, e.value))
-                case Some(s) =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t),
-                    s.nEvents + 1L, s.total + e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L, e.value))
+              val (touching, rest) = open.partition(s =>
+                t >= s.start - gapUs && t <= s.last + gapUs)
+              val merged = touching.foldLeft(SessionState(t, t, 1L, e.value)) {
+                (acc, s) => SessionState(math.min(acc.start, s.start),
+                  math.max(acc.last, s.last), acc.nEvents + s.nEvents,
+                  acc.total + s.total)
               }
+              open = merged :: rest
             }
-            cur.foreach { s =>
-              state.update(s)
-              // Free state once the watermark passes the session gap.
-              state.setTimeoutTimestamp(s.last / 1000L + gapUs / 1000L)
-            }
-            closed.reverseIterator
           }
+
+          // 2. emit every session the watermark has sealed (no in-horizon
+          //    event can reach it anymore)
+          val (closed, stillOpen) = open.partition(s =>
+            (s.last + gapUs) / 1000L < wmMs)
+          val out = closed.sortBy(_.start).map(s => ClosedSession(userId,
+            s.start / 1000000L, s.last / 1000000L, s.nEvents, s.total))
+
+          // 3. keep the rest; wake when the earliest could seal
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(stillOpen)
+            state.setTimeoutTimestamp(math.max(wmMs + 1,
+              stillOpen.map(s => (s.last + gapUs) / 1000L + 1).min))
+          }
+          out.iterator
       }
   }
 
@@ -194,10 +200,15 @@ object Streams {
 
   /** Partitioned-parquet streaming sink (S6's production form): exactly-once
     * per micro-batch via the checkpoint, partitioned by event date so a
-    * 100 TB-scale consumer prunes by day. */
-  def toPartitionedParquet(df: DataFrame, path: String,
-                           checkpoint: String): StreamingQuery =
-    df.withColumn("event_date", to_date(timestamp_seconds(col("bucket_start"))))
+    * 100 TB-scale consumer prunes by day. `eventDate` derives the partition
+    * column from whatever time column the upstream operator emits
+    * (default: the tumbling/sliding `bucket_start` unix seconds; pass e.g.
+    * `to_date(timestamp_seconds(col("session_start")))` for sessions or
+    * `to_date(col("ts"))` for row-level streams). */
+  def toPartitionedParquet(df: DataFrame, path: String, checkpoint: String,
+                           eventDate: org.apache.spark.sql.Column =
+                             to_date(timestamp_seconds(col("bucket_start")))): StreamingQuery =
+    df.withColumn("event_date", eventDate)
       .writeStream
       .format("parquet")
       .option("path", path)

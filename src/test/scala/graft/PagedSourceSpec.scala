@@ -79,7 +79,7 @@ class PagedSourceSpec extends SparkSpec {
   test("retrying client refreshes token on 401 and retries IO errors") {
     class Flaky(inner: PageClient) extends PageClient {
       var calls = 0
-      override def total(): Long = inner.total()
+      override def total(market: Option[String]): Long = inner.total(market)
       override def fetchPage(o: Long, l: Int, m: Option[String],
                              f: Array[String]): Seq[Array[String]] = {
         calls += 1

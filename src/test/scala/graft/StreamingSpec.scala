@@ -115,7 +115,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stateful sessionizer emits one row per closed session") {
+  test("stateful sessionizer emits one row per closed session, only once sealed") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
     val in = MemoryStream[Event]
@@ -131,19 +131,49 @@ class StreamingSpec extends SparkSpec {
         Event(2, ts(15), 1, "view", 2.0),
         Event(3, ts(100), 1, "click", 4.0))
       drain(q)
-      // the first session closes inline (second one opens); watermark
-      // hasn't advanced past session 2 yet
-      val first = spark.table("sessionize")
-        .as[ClosedSession].collect().toSet
-      assert(first === Set(ClosedSession(1L, 600L, 900L, 2L, 3.0)))
-      // push watermark far ahead => session 2 times out and is emitted
+      // NOTHING emits yet: the watermark (100min - 1h horizon = 40min)
+      // hasn't passed either session's close time — an out-of-order
+      // straggler could still extend them, so inline emission would be
+      // wrong. (Session 1 seals at 15+30=45min.)
+      assert(spark.table("sessionize").as[ClosedSession].collect().isEmpty)
+      // push the watermark far ahead => both sessions seal and emit
       in.addData(Event(9, ts(600), 2, "click", 0.5))
       drain(q)
       in.addData(Event(10, ts(610), 2, "view", 0.5))
       drain(q)
       val after = spark.table("sessionize")
         .as[ClosedSession].collect().toSet
-      assert(after.contains(ClosedSession(1L, 6000L, 6000L, 1L, 4.0)))
+      assert(after === Set(
+        ClosedSession(1L, 600L, 900L, 2L, 3.0),
+        ClosedSession(1L, 6000L, 6000L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizer handles cross-batch out-of-order events like the batch query") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(100), 1, "click", 1.0))
+      drain(q) // watermark now 100min - 60min = 40min
+      // out-of-order but inside the horizon: 50min > 40min watermark.
+      // 50 and 100 are 50min apart (> 30min gap) => TWO sessions, exactly
+      // what batch q31 computes on {50,100}.
+      in.addData(Event(2, ts(50), 1, "view", 2.0))
+      drain(q)
+      // seal everything
+      in.addData(Event(8, ts(600), 2, "click", 0.0))
+      drain(q)
+      in.addData(Event(9, ts(610), 2, "view", 0.0))
+      drain(q)
+      val sessions = spark.table("sess_ooo").as[ClosedSession]
+        .filter(_.user_id == 1L).collect().toSet
+      assert(sessions === Set(
+        ClosedSession(1L, 3000L, 3000L, 1L, 2.0),
+        ClosedSession(1L, 6000L, 6000L, 1L, 1.0)))
     } finally q.stop()
   }
 
