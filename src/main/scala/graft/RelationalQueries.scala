@@ -173,9 +173,14 @@ object RelationalQueries {
               col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey"),
+      // NOT EXISTS, not NOT IN: NOT IN collapses to zero rows if the
+      // subquery ever yields a NULL key, where left_anti (and NOT EXISTS)
+      // keep every unmatched row — the oracle must share anti-join
+      // semantics exactly.
       Some("""
-        SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
         ORDER BY c_custkey""")),
 
     // ---- Multiway join, broadcast dims (TPC-H Q5 shape) ------------------
@@ -342,7 +347,7 @@ object RelationalQueries {
                COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // ---- Scalar subquery via broadcast (orders above 2x exact mean) ------
+    // ---- Scalar subquery via broadcast (orders above 1.5x exact mean) ----
     QueryDef("q20_scalar_subquery",
       (s, dir) => {
         val o = orders(s, dir)

@@ -29,8 +29,13 @@ object Tables {
 
   /** Events table. The driver's parquet stores `ts` as TIMESTAMP(NANOS),
     * which Spark's parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
-    * We read nanos as a raw long (`spark.sql.legacy.parquet.nanosAsLong`)
-    * and expose:
+    * We read nanos as a raw long (`spark.sql.legacy.parquet.nanosAsLong`) —
+    * a DELIBERATELY session-wide setting, not scoped-and-restored: the
+    * flag is consulted again at scan execution, after this method returns,
+    * so restoring it early would break the very read it enables. Every
+    * loader in this engine goes through this object, and the flag only
+    * affects NANOS-typed columns (all other tables are unaffected).
+    * We expose:
     *   - `ts_us`  long   — event time in microseconds since epoch (exact;
     *                        all window/bucket math is done on this so a
     *                        DuckDB oracle, which truncates ns->us, agrees)

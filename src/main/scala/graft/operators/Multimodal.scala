@@ -69,11 +69,17 @@ object Multimodal {
     withMedia.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real decoder would initialize native context here, once per partition
-        it.map { case (id, bytes) =>
-          val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
-          val b2 = bytes(2) & 0xff; val b3 = bytes(3) & 0xff
-          MediaMeta(id, b0 % 64 + 1, b1 % 64 + 1, formats(b2 % 3), b3 % 16 + 1)
+        // real decoder would initialize native context here, once per partition.
+        // Undecodable payloads (null / truncated header) are SKIPPED, the
+        // standard decoder error channel (production would route them to a
+        // quarantine sink) — the Column path instead yields null metadata
+        // for them; the equivalence contract covers decodable payloads.
+        it.flatMap {
+          case (id, bytes) if bytes != null && bytes.length >= 4 =>
+            val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+            val b2 = bytes(2) & 0xff; val b3 = bytes(3) & 0xff
+            Some(MediaMeta(id, b0 % 64 + 1, b1 % 64 + 1, formats(b2 % 3), b3 % 16 + 1))
+          case _ => None
         }
       }
   }

@@ -31,9 +31,11 @@ object Relational {
     * keeps the first row in insertion order (reference:
     * 01_TestingPy/Spotify_API3.py:124-126). Spark has no insertion order,
     * so "first" must be declared: the survivor is the minimum row under
-    * `order`. Window + row_number = one shuffle on the key, no sort of the
-    * whole table (sort is per-key-partition); skewed keys are handled by
-    * AQE skew-split since Spark 3.x.
+    * `order`. Window + row_number = one shuffle on the key, then a
+    * per-key-partition sort. NOTE: AQE does NOT split skewed window
+    * partitions (its skew mitigation is join-only), so a hot key sorts
+    * on one task — under key skew prefer [[dedupFirstWinsAgg]], whose
+    * per-key state is one row.
     */
   def dedupFirstWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
@@ -103,6 +105,9 @@ object Relational {
     */
   def semiJoin(child: DataFrame, parent: DataFrame, keys: Seq[String]): DataFrame =
     child.join(parent, keys, "left_semi")
+      // left_semi returns only child columns, but a using-columns join
+      // moves the key columns first — re-select to preserve the child's
+      // declared column ORDER (pinned by RelationalSpec).
       .select(child.columns.map(col).toIndexedSeq: _*)
 
   /** Exact decimal sum of a double column, returned as double.
@@ -144,8 +149,16 @@ object Relational {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 aggs: Seq[(Column, String)], finals: Seq[(Column, String)]): DataFrame = {
+    // Salt must be independent of row CONTENT: hashing the row would give
+    // identical rows (key-only projections, duplicate events) one constant
+    // salt and re-serialize the hot key on a single reducer. Sequential
+    // per-partition ids round-robin every row — including duplicates —
+    // across all `salts` partial groups. Nondeterministic across task
+    // retries, which is safe here: the operator requires decomposable
+    // (associative/commutative) aggregates, so WHICH partial a row lands
+    // in never changes the final result.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(aggs.head._1.as(aggs.head._2),
