@@ -22,17 +22,21 @@ object Bench {
       // column (a projection-heavy query would bench as a bare row scan)
       // and drop unlimited sorts; the noop writer materializes each row
       // fully with zero sink cost — the honest per-query number.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
-        case e: Throwable =>
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // headline total = successful queries only; time burned by a failing
+    // query is not work that produced a result
+    val total = results.collect { case (_, t, true) => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -284,8 +284,11 @@ object DedupQueries {
         // result as the declarative qdot/qcosine form (see SimilaritySpec
         // bit-for-bit test) but a fused primitive loop instead of
         // interpreted aggregate(zip_with(...)) per pair.
+        // nrm > 0 on both sides: a zero-norm vector has no cosine, and
+        // 0/0 diverges across engines (Spark NaN, DuckDB NULL)
         val e = embeddings(s, dir)
           .select(col("vec_id"), quantize(col("embedding")).as("q"))
+          .filter(qdot(col("q"), col("q")) > 0)
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
           .withColumn("cosine", QCosine(col("a.q"), col("b.q")))
           .filter(col("cosine") >= 0.45)
@@ -297,9 +300,10 @@ object DedupQueries {
                           list_transform(embedding,
                             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
                    FROM embeddings),
-        n AS (SELECT vec_id, q,
+        n AS (SELECT * FROM (
+              SELECT vec_id, q,
                      CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i])) AS BIGINT) AS nrm
-              FROM q)
+              FROM q) WHERE nrm > 0)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
                  / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine

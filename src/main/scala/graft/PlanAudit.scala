@@ -19,13 +19,25 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // Per-query isolation: one broken query must not abort the audit of
+      // everything sorting after it.
+      try { audit(spark, dir, name, fn) }
+      catch { case e: Throwable =>
+        println(s"== $name\n   !!! AUDIT FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+
+  private def audit(spark: SparkSession, dir: String, name: String,
+                    fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val df = fn(spark, dir)
       // drive THIS query's own execution (count() would plan a different
       // query) so AQE finalizes and codegen stages appear in the string
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r
-        .findAllIn(plan).toSeq.filterNot(_.contains("[]")).distinct
+        .findAllIn(plan).toSeq.distinct
       val reads = "ReadSchema: [^\\n]+".r.findAllIn(plan).toSeq.distinct
       val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
         "BroadcastNestedLoopJoin", "ShuffledHashJoin", "CartesianProduct")
@@ -39,7 +51,5 @@ object PlanAudit {
       println(s"   codegen spans: $codegen")
       if (plan.contains("CartesianProduct"))
         println("   !!! CARTESIAN PRODUCT")
-    }
-    spark.stop()
   }
 }

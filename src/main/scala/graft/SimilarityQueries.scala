@@ -30,20 +30,26 @@ object SimilarityQueries {
   private val DIMS = 64
   private val NQUERIES = 20
 
-  /** (vec_id, q: array<long>, nrm: long) */
+  /** (vec_id, q: array<long>, nrm: long), zero-norm vectors EXCLUDED:
+    * a vector quantizing to all zeros has no defined cosine, and the two
+    * engines disagree on 0/0 (Spark: NaN, DuckDB: NULL) — filtering
+    * nrm > 0 on BOTH sides keeps the oracle exact and the semantics
+    * honest ("no direction, no neighbors"). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
       .withColumn("nrm", qdot(col("q"), col("q")))
+      .filter(col("nrm") > 0)
 
   private val duckQuantized = """
         q AS (SELECT vec_id, label,
                      list_transform(embedding,
                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
               FROM embeddings),
-        n AS (SELECT vec_id, label, q,
+        n AS (SELECT * FROM (
+              SELECT vec_id, label, q,
                      CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i])) AS BIGINT) AS nrm
-              FROM q)"""
+              FROM q) WHERE nrm > 0)"""
 
   private val duckCos =
     """CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
@@ -88,6 +94,9 @@ object SimilarityQueries {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
                      x => x.getField("ci")).as("c"))
       .withColumn("cnrm", qdot(col("c"), col("c")))
+      // all-zero centroid (degenerate cell) has no probe direction; both
+      // engines must drop it or 0-division semantics diverge (NaN vs NULL)
+      .filter(col("cnrm") > 0)
     val qs = e.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
     // probe: nprobe nearest centroids per query (tiny cross join, broadcast)
@@ -119,9 +128,10 @@ object SimilarityQueries {
                         list(CAST(FLOOR(CAST(sv AS DOUBLE) / cn * 1024) AS BIGINT)
                              ORDER BY dim_idx) AS c
                  FROM cm GROUP BY label),
-        centn AS (SELECT label AS cell, c,
+        centn AS (SELECT * FROM (
+                  SELECT label AS cell, c,
                          CAST(list_sum(list_transform(range(1, len(c) + 1), i -> c[i] * c[i])) AS BIGINT) AS cnrm
-                  FROM cent),
+                  FROM cent) WHERE cnrm > 0),
         qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM n WHERE vec_id < $NQUERIES),
         scores AS (SELECT query_id, qq, qn, cell,
                           CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * c[i])) AS DOUBLE)

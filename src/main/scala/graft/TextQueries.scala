@@ -22,6 +22,13 @@ object TextQueries {
       .map { case (lang, ms) => s"${duckMarker(ms)} AS n_$lang" }
       .mkString(",\n               ")
 
+  /** t43's stopword set, derived from the SAME source the Spark side
+    * reads (langMarkers.head = English) — a hardcoded copy would silently
+    * desynchronize the oracle if the lexicon changes. */
+  private val duckStop: String =
+    graft.functions.TextAnalysis.langMarkers.head._2
+      .map(m => s"'$m'").mkString(",")
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- Token statistics (token counting: whitespace + BPE-ish) --------
@@ -96,15 +103,15 @@ object TextQueries {
           qualityScore(col("text")).as("quality"),
           when(qualityScore(col("text")) >= 0.5, "keep").otherwise("drop").as("decision"))
         .orderBy("doc_id"),
-      Some("""
+      Some(s"""
         SELECT doc_id, stop_ratio, quality,
                CASE WHEN quality >= 0.5 THEN 'keep' ELSE 'drop' END AS decision
         FROM (
           SELECT doc_id,
-                 CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT)
+                 CAST(len(list_filter(toks, x -> x IN ($duckStop))) AS BIGINT)
                    / CAST(CAST(len(toks) AS BIGINT) AS DOUBLE) AS stop_ratio,
                  0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
-                 + 0.3 * (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT)
+                 + 0.3 * (CAST(len(list_filter(toks, x -> x IN ($duckStop))) AS BIGINT)
                           / CAST(CAST(len(toks) AS BIGINT) AS DOUBLE))
                  + 0.3 * ((CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(toks)) / 10.0)
                    AS quality

@@ -16,10 +16,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      val target = s"$outDir/$name.parquet"
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(target)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failure BEFORE the overwrite (analysis error) leaves a stale
+        // previous run's output in a reused outDir — the gate would then
+        // compare old results and false-PASS a broken query. Remove it.
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(target))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

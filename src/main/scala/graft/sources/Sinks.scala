@@ -33,7 +33,13 @@ object Sinks {
     path
   }
 
-  /** S7: empty-sink guard. `isEmpty` is a limit-1 scan, not a count. */
-  def writeIfNonEmpty(df: DataFrame, dir: String, name: String, runId: String): Option[String] =
-    if (df.isEmpty) None else Some(csv(df, dir, name, runId))
+  /** S7: empty-sink guard. `isEmpty` is a limit-1 scan, not a count. The
+    * frame is persisted across the probe + write so the upstream plan
+    * runs once, and so a nondeterministic upstream can't pass the probe
+    * yet write different (or zero) rows. */
+  def writeIfNonEmpty(df: DataFrame, dir: String, name: String, runId: String): Option[String] = {
+    val pinned = df.persist()
+    try { if (pinned.isEmpty) None else Some(csv(pinned, dir, name, runId)) }
+    finally { pinned.unpersist(): Unit }
+  }
 }
