@@ -276,6 +276,58 @@ object DedupQueries {
       (s, dir) => bigramPairs(s, dir).orderBy("doc_a", "doc_b"),
       Some(duckBigramPairsSql)),
 
+    // ---- d57: containment detection (partial-copy / quote duplication) ---
+    // Jaccard misses a small doc wholly quoted inside a big one (the
+    // union dwarfs the intersection); CONTAINMENT |A∩B| / |A| catches it.
+    // Candidate generation is single-minhash containment LSH: the
+    // probability that A's minimum shingle hash also lies in B is exactly
+    // the containment of A in B, so bucketing on the min hash surfaces
+    // high-containment pairs with an equality join — no all-pairs, same
+    // 100 TB shape as d51/d53. Verification is the exact SortedOverlap
+    // merge scan; both directions' containments are reported.
+    QueryDef("d57_containment",
+      (s, dir) => {
+        val arr = documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .repartition(col("doc_id"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"),
+            array_sort(array_distinct(transform(shingles(col("w"), 2),
+              x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
+          .withColumn("hmin", element_at(col("sh"), 1)) // sorted => head is min
+        val cand = arr.as("x").join(arr.as("y"),
+            col("x.hmin") === col("y.hmin") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("x.sh").as("sha"),
+                  col("y.doc_id").as("doc_b"), col("y.sh").as("shb"))
+          .repartition(col("doc_a"), col("doc_b"))
+        cand
+          .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
+          .withColumn("containment",
+            greatest(col("inter").cast("double") / size(col("sha")),
+                     col("inter").cast("double") / size(col("shb"))))
+          .filter(col("containment") >= 0.8)
+          .select("doc_a", "doc_b", "containment")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, ${duckHexToLong("md5(shingle)", 15)} AS shingle
+               FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS shingle
+                     FROM t WHERE len(w) >= 2)),
+        agg AS (SELECT doc_id, MIN(shingle) AS hmin, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb
+                 FROM agg x JOIN agg y
+                 ON x.hmin = y.hmin AND x.doc_id < y.doc_id),
+        i AS (SELECT doc_a, doc_b, na, nb, COUNT(*) AS inter
+              FROM cand JOIN sh a ON a.doc_id = doc_a
+                        JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+              GROUP BY doc_a, doc_b, na, nb)
+        SELECT doc_a, doc_b,
+               GREATEST(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb) AS containment
+        FROM i
+        WHERE GREATEST(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb) >= 0.8
+        ORDER BY doc_a, doc_b""")),
+
     // ---- d54: embedding near-dup pairs (quantized-exact cosine) ----------
     QueryDef("d54_embedding_neardup",
       (s, dir) => {
