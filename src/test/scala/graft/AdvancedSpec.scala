@@ -61,6 +61,24 @@ class AdvancedSpec extends SparkSpec {
     assert(rows.map(_._1).toSet.intersect(src0).isEmpty)
   }
 
+  test("IVF recall vs brute-force ground truth; multi-probe never loses to single-probe") {
+    def topk(name: String): Map[Long, Set[Long]] =
+      SimilarityQueries.defs.find(_.name == name).get.run(spark, sf)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val truth = topk("s60_ann_bruteforce")
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      hits.sum / hits.size
+    }
+    val r1 = recall(topk("s64_ann_ivf"))
+    val r2 = recall(topk("s65_ann_ivf_multiprobe"))
+    assert(r2 >= r1, s"multi-probe recall $r2 < single-probe $r1")
+    assert(r2 > 0.2, s"multi-probe recall $r2 implausibly low — probe routing broken?")
+  }
+
   test("q37 banded range join equals the direct theta-join on the same data") {
     val banded = q("q37_range_join_banded")
       .select("a_id", "b_id", "gap_us").as[(Long, Long, Long)].collect().toSet
