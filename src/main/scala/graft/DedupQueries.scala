@@ -279,28 +279,51 @@ object DedupQueries {
     // ---- d57: containment detection (partial-copy / quote duplication) ---
     // Jaccard misses a small doc wholly quoted inside a big one (the
     // union dwarfs the intersection); CONTAINMENT |A∩B| / |A| catches it.
-    // Candidate generation is single-minhash containment LSH: the
-    // probability that A's minimum shingle hash also lies in B is exactly
-    // the containment of A in B, so bucketing on the min hash surfaces
-    // high-containment pairs with an equality join — no all-pairs, same
+    // Candidate generation blocks on each doc's minimum RARE shingle
+    // (document frequency <= MAXDF): a high-containment pair shares all
+    // of the contained doc's shingles, so its min rare shingle lands in
+    // both buckets, while frequent shingles — which would glue hundreds
+    // of unrelated docs into one bucket (measured: an uncapped min-hash
+    // block put 275 docs / 315k pairs in one bucket at sf0.1; df<=25
+    // leaves ~1k candidates with FULL recall of the 25 ground-truth
+    // containment pairs at sf0.01) — never block anything. The absolute
+    // df cap grows MORE selective as the corpus grows: it bounds the
+    // plausible duplication factor, not a corpus fraction. The df table is one
+    // hash aggregate, the block is an equality join: no all-pairs, same
     // 100 TB shape as d51/d53. Verification is the exact SortedOverlap
-    // merge scan; both directions' containments are reported.
+    // merge scan; the better direction's containment is reported.
     QueryDef("d57_containment",
       (s, dir) => {
-        val arr = documents(s, dir)
+        val MAXDF = 25
+        val base = documents(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .repartition(col("doc_id"))
           .filter(size(col("w")) >= 2)
-          .select(col("doc_id"),
-            array_sort(array_distinct(transform(shingles(col("w"), 2),
-              x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
-          .withColumn("hmin", element_at(col("sh"), 1)) // sorted => head is min
-        val cand = arr.as("x").join(arr.as("y"),
-            col("x.hmin") === col("y.hmin") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("x.sh").as("sha"),
-                  col("y.doc_id").as("doc_b"), col("y.sh").as("shb"))
+        val arr = base.select(col("doc_id"),
+          array_sort(array_distinct(transform(shingles(col("w"), 2),
+            x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
+        val ex = arr.select(col("doc_id"), explode(col("sh")).as("h"))
+        val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MAXDF)
+        // rare-shingle postings + each doc's min rare shingle. The probe
+        // is ASYMMETRIC: A's min rare shingle against B's full posting
+        // list — if A is contained in B, that shingle IS in B. (Blocking
+        // both sides by their own min would lose pairs where B carries
+        // extra rare shingles below A's min.) Candidates are bounded by
+        // docs x MAXDF.
+        val rex = ex.join(rare.select("h"), Seq("h"))
+        val hmin = rex.groupBy("doc_id").agg(min("h").as("h"))
+        val cand = hmin.as("x").join(rex.as("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+                  greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+          .distinct()
           .repartition(col("doc_a"), col("doc_b"))
         cand
+          .join(broadcast(arr.select(col("doc_id").as("doc_a"), col("sh").as("sha"))),
+                Seq("doc_a"))
+          .join(broadcast(arr.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
+                Seq("doc_b"))
           .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
           .withColumn("containment",
             greatest(col("inter").cast("double") / size(col("sha")),
@@ -314,18 +337,24 @@ object DedupQueries {
         sh AS (SELECT DISTINCT doc_id, ${duckHexToLong("md5(shingle)", 15)} AS shingle
                FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS shingle
                      FROM t WHERE len(w) >= 2)),
-        agg AS (SELECT doc_id, MIN(shingle) AS hmin, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb
-                 FROM agg x JOIN agg y
-                 ON x.hmin = y.hmin AND x.doc_id < y.doc_id),
-        i AS (SELECT doc_a, doc_b, na, nb, COUNT(*) AS inter
+        rare AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+                 WHERE df <= 25),
+        rex AS (SELECT doc_id, shingle FROM sh
+                WHERE shingle IN (SELECT shingle FROM rare)),
+        mins AS (SELECT doc_id, MIN(shingle) AS hmin FROM rex GROUP BY doc_id),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        cand AS (SELECT DISTINCT LEAST(x.doc_id, y.doc_id) AS doc_a,
+                                 GREATEST(x.doc_id, y.doc_id) AS doc_b
+                 FROM mins x JOIN rex y
+                 ON y.shingle = x.hmin AND y.doc_id <> x.doc_id),
+        i AS (SELECT doc_a, doc_b, COUNT(*) AS inter
               FROM cand JOIN sh a ON a.doc_id = doc_a
                         JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
-              GROUP BY doc_a, doc_b, na, nb)
+              GROUP BY doc_a, doc_b)
         SELECT doc_a, doc_b,
-               GREATEST(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb) AS containment
-        FROM i
-        WHERE GREATEST(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb) >= 0.8
+               GREATEST(CAST(inter AS DOUBLE) / sa.n, CAST(inter AS DOUBLE) / sb.n) AS containment
+        FROM i JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        WHERE GREATEST(CAST(inter AS DOUBLE) / sa.n, CAST(inter AS DOUBLE) / sb.n) >= 0.8
         ORDER BY doc_a, doc_b""")),
 
     // ---- d54: embedding near-dup pairs (quantized-exact cosine) ----------
