@@ -34,9 +34,12 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // headline total = successful queries only; time burned by a failing
-    // query is not work that produced a result
-    val total = results.collect { case (_, t, true) => t }.sum
+    // headline total = -1 (hard failure) when ANY query failed: summing
+    // only successes would let a slow query "improve" the headline by
+    // breaking outright. Consumers see the failed list either way.
+    val total =
+      if (failed.nonEmpty) -1.0
+      else results.collect { case (_, t, true) => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

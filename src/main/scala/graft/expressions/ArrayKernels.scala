@@ -117,6 +117,13 @@ object SortedOverlap {
   * < 2^38, exact in long on any engine). Null for null or empty input
   * (min of nothing is undefined; d51 filters size >= n upstream).
   *
+  * Input contract, ENFORCED at runtime: every element must be a 32-bit
+  * fingerprint, 0 <= h < 2^32. Outside that range h*(2i+1) can overflow
+  * long and Java's % yields negative values — a silently wrong signature.
+  * Internal callers shift 60-bit hashes down to 32 bits; the guard exists
+  * for SQL callers of the registered `minhash_sig`, and costs one
+  * branch-predictable comparison per element.
+  *
   * Why an Expression: the declarative spelling is K independent
   * array_min(transform(hs, ...)) columns — higher-order functions are
   * CodegenFallback, so that's 12 interpreted passes with a lambda-variable
@@ -153,6 +160,8 @@ case class MinHashSig(child: Expression, k: Int, p: Long)
     var j = 0
     while (j < n) {
       val h = hs.getLong(j)
+      if ((h >>> 32) != 0L) throw new IllegalArgumentException(
+        s"minhash_sig: element $h is not a 32-bit fingerprint (need 0 <= h < 2^32)")
       var i = 0
       while (i < k) {
         val x = (h * (2L * i + 1L) + (1000003L * i + 12345L)) % p
@@ -183,6 +192,8 @@ case class MinHashSig(child: Expression, k: Int, p: Long)
           java.util.Arrays.fill($mins, Long.MAX_VALUE);
           for (int $j = 0; $j < $n; $j++) {
             final long $h = $a.getLong($j);
+            if (($h >>> 32) != 0L) throw new IllegalArgumentException(
+              "minhash_sig: element " + $h + " is not a 32-bit fingerprint (need 0 <= h < 2^32)");
             for (int $i = 0; $i < $k; $i++) {
               final long $x = ($h * (2L * $i + 1L) + (1000003L * $i + 12345L)) % ${p}L;
               if ($x < $mins[$i]) $mins[$i] = $x;

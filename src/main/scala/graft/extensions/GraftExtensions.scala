@@ -22,6 +22,27 @@ import graft.expressions.{MinHashSig, QCosine, SortedOverlap}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Extract a non-null integral literal from a SQL argument, or raise a
+    * clear analysis-time error (a bare `e.eval().asInstanceOf[Number]`
+    * would surface a NULL or string literal as an opaque NPE / CCE). */
+  private def integralLiteral(e: Expression, name: String): Long = e match {
+    case e if e.foldable => e.eval() match {
+      case n: java.lang.Number
+          if Set[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.ByteType,
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType).contains(e.dataType) =>
+        n.longValue()
+      case null => throw new IllegalArgumentException(
+        s"minhash_sig: $name must be a non-null integer literal, got NULL")
+      case _ => throw new IllegalArgumentException(
+        s"minhash_sig: $name must be an integer literal, got type ${e.dataType.simpleString}")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"minhash_sig: $name must be a literal (foldable) integer, got $e")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("qcosine"),
@@ -46,15 +67,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // minhash_sig(hs, k, p): k and p must be foldable integer literals.
         require(children.length == 3,
           s"minhash_sig expects 3 arguments (array, k, p), got ${children.length}")
-        val k = children(1) match {
-          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
-          case e => throw new IllegalArgumentException(s"k must be a literal, got $e")
-        }
-        val p = children(2) match {
-          case e if e.foldable => e.eval().asInstanceOf[Number].longValue()
-          case e => throw new IllegalArgumentException(s"p must be a literal, got $e")
-        }
-        MinHashSig(children(0), k, p)
+        val k = integralLiteral(children(1), "k")
+        val p = integralLiteral(children(2), "p")
+        require(k >= 1 && k <= 4096,
+          s"minhash_sig: k must be in [1, 4096], got $k")
+        require(p >= 2, s"minhash_sig: p must be >= 2, got $p")
+        MinHashSig(children(0), k.toInt, p)
       }))
   }
 }

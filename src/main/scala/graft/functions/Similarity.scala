@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Word n-gram shingles of a pre-split token array column. Caller must
-    * filter rows with fewer than n tokens (documents always have >n).
-    * Built from the passed Column (not a hardcoded name): `get` is 0-based
-    * and in-bounds for i in [0, size-n], j in [0, n) — no ANSI throw. */
+  /** Word n-gram shingles of a pre-split token array column. Total: rows
+    * with fewer than n tokens yield an EMPTY array (an unguarded
+    * sequence(0, size-n) would count down and emit null-padded garbage
+    * grams). Built from the passed Column (not a hardcoded name): `get` is
+    * 0-based and in-bounds for i in [0, size-n], j in [0, n) — no ANSI
+    * throw. */
   def shingles(words: Column, n: Int): Column =
-    transform(sequence(lit(0), size(words) - n), i =>
-      concat_ws(" ", (0 until n).map(j => get(words, i + j)): _*))
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n), i =>
+        concat_ws(" ", (0 until n).map(j => get(words, i + j)): _*)))
+      .otherwise(typedLit(Seq.empty[String]))
 
   /** One MinHash value: the lexicographic minimum of md5(seed|shingle)
     * over the document's shingle set. K independent hash functions come

@@ -56,6 +56,20 @@ class ArrayKernelsSpec extends SparkSpec {
     assert(df.select(MinHashSig($"hs", 4, 4294967311L)).collect().forall(_.isNullAt(0)))
   }
 
+  test("MinHashSig rejects elements outside the 32-bit fingerprint range") {
+    // >= 2^32 and negative both overflow h*(2i+1) — must be a clear error,
+    // not a silently wrong signature. Exercises the codegen path.
+    for (bad <- Seq(1L << 57, -1L)) {
+      val df = Seq(Tuple1(Array(7L, bad))).toDF("hs")
+      val e = intercept[Exception] {
+        df.select(MinHashSig($"hs", 4, 4294967311L)).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("32-bit fingerprint")))
+    }
+  }
+
   test("null array ELEMENTS null the kernels out instead of reading as 0") {
     val withNulls = Seq(Tuple1(Seq[Option[Long]](Some(1L), None, Some(5L))))
       .toDF("a")

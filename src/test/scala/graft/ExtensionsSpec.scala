@@ -78,4 +78,19 @@ class ExtensionsSpec extends AnyFunSuite {
     // spot-check hash function i=0: min(7*1+12345, 9*1+12345) = 12352
     assert(sig.head === 12352L)
   }
+
+  test("minhash_sig rejects NULL / string / non-literal k and p clearly") {
+    for (sql <- Seq(
+      "SELECT minhash_sig(array(7L), NULL, 4294967311L)",     // NULL k
+      "SELECT minhash_sig(array(7L), 'four', 4294967311L)",   // string k
+      "SELECT minhash_sig(array(7L), 4, CAST(rand()*10 AS BIGINT))", // non-foldable p
+      "SELECT minhash_sig(array(7L), 0, 4294967311L)",        // k out of range
+      "SELECT minhash_sig(array(7L), 4, 1)"                   // p out of range
+    )) {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("minhash_sig")), s"opaque error for: $sql → $e")
+    }
+  }
 }

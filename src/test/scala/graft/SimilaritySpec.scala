@@ -16,6 +16,14 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Seq("a b", "b c", "c d"))
   }
 
+  test("shingles of a too-short token array is empty, not garbage") {
+    val out = Seq("a b", "a", "").toDF("text")
+      .select(split($"text", " ").as("w"))
+      .select(shingles($"w", 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(out.forall(_.isEmpty))
+  }
+
   test("quantize floors to integer thousandths") {
     val out = Seq(Tuple1(Array(0.0015f, -0.5f, 1.0f))).toDF("e")
       .select(quantize($"e").as("q")).as[Seq[Long]].head()
