@@ -47,6 +47,19 @@ object AdvancedQueries {
 
   private val WINDOW_US = 60000000L // 60 s in integer microseconds
 
+  /** The sketch half of q39: exact and HLL++ approximate distinct counts
+    * side by side. Not in the oracled query set — the sketch value is
+    * engine-specific (no DuckDB twin exists); AdvancedSpec pins its
+    * relative error against the exact column instead. At 100 TB the
+    * sketch is the deployable form: fixed-memory buffers, map-side
+    * merge, no shuffle of distinct values. */
+  def approxDistinctSketch(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_exact"),
+           approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+      .orderBy("l_returnflag")
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- q23: CUBE over (returnflag, linestatus) -------------------------
@@ -194,7 +207,7 @@ object AdvancedQueries {
       },
       Some(s"""
         WITH RECURSIVE pairs AS (
-          SELECT doc_a, doc_b FROM (${DedupQueries.duckBigramPairsSql})
+          SELECT doc_a, doc_b FROM (${DedupQueries.duckBigramPairsSql()})
         ),
         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                   UNION ALL
@@ -232,20 +245,22 @@ object AdvancedQueries {
                quantile_disc(o_totalprice, 0.9)  AS p90
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
-    // ---- q39: distinct-count sketch vs exact (no oracle: approximate) ----
-    // approx_count_distinct is the 100 TB path for distinct counting: an
-    // HLL++ sketch that aggregates in fixed memory and merges map-side,
-    // where exact COUNT(DISTINCT) must shuffle every distinct value. The
-    // sketch is engine-specific, so this query gets the driver's weaker
-    // rows-only check; AdvancedSpec pins the relative error to the exact
-    // count instead.
-    QueryDef("q39_approx_distinct",
+    // ---- q39: exact distinct counts per group (oracled) ------------------
+    // The exact half of the distinct-counting pair: COUNT(DISTINCT) must
+    // shuffle every distinct value, which is the cost that motivates the
+    // sketch. The approximate half — approx_count_distinct, the 100 TB
+    // path (an HLL++ sketch aggregating in fixed memory with map-side
+    // merge) — is engine-specific and therefore NOT oracle-comparable;
+    // it lives in [[approxDistinctSketch]] with its error bound pinned
+    // against this query in AdvancedSpec.
+    QueryDef("q39_distinct_counts",
       (s, dir) => lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("n_exact"),
-             approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- q40: top-k per group via a typed Aggregator ---------------------
     // Same results as the row_number window (the oracle), different

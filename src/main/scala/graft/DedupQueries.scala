@@ -16,6 +16,8 @@ import graft.functions.Similarity._
   *   - d52 SimHash            (per-token md5 votes -> 16-bit fingerprint)
   *   - d53 blocked n-gram Jaccard (length-bucket blocking -> pairwise)
   *   - d54 embedding near-dup (quantized-integer cosine, threshold pairs)
+  *   - d57 containment detection (rare-shingle blocking, |A∩B|/|A|)
+  *   - d58 composed-key blocked Jaccard (length × lang blocking)
   *
   * Scale analysis (the reason these shapes were chosen):
   * d51/d53 never enumerate all pairs — candidates come from equality joins
@@ -31,43 +33,27 @@ object DedupQueries {
   private val BANDS = 6   // bands of 2 rows each => s-curve threshold ~0.6
   private val P = 4294967311L // prime > 2^32 for the universal-hash family
 
-  /** Distinct word-n-gram shingle sets: (doc_id, shingle). Not persisted:
-    * the repeated uses are identical subtrees, so ReuseExchange already
-    * shares the distinct's shuffle output; an explicit cache only adds a
-    * materialization barrier (measured slower at sf0.1). */
-  private def shingleSets(s: SparkSession, dir: String, n: Int): DataFrame =
-    documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      // Spread the narrow scan across cores BEFORE the ~50x shingle
-      // explosion: one cheap shuffle of the raw text balances the heavy
-      // per-row work. Matters whenever input splits < cores (single-file
-      // testdata; skewed file sizes at cluster scale).
-      .repartition(col("doc_id"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(shingles(col("w"), n)).as("shingle"))
+  /** Verify-stage attach: joins each side's sorted hashed shingle set
+    * onto the candidate pairs WITHOUT broadcasting a corpus-derived
+    * frame. `arr` (one `(doc_id, sh)` row per corpus doc) is first
+    * restricted by a semi join to docs that actually appear in a
+    * candidate pair — bounded by what banding / blocking produced, not
+    * by the corpus — and the joins carry NO hint, so AQE broadcasts the
+    * restricted side only when it measures small at runtime. A forced
+    * `broadcast(arr)` here (the round-4 shape) would ship every doc's
+    * shingle array to every executor: OOM at 100 TB corpus scale. */
+  private def attachSets(cand: DataFrame, arr: DataFrame): DataFrame = {
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
-
-  /** Exact Jaccard over candidate pairs via shingle-equality join. */
-  private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val carr = arr.join(ids, Seq("doc_id"), "left_semi")
     cand
-      // Candidate pairs can be produced by a single task (broadcast
-      // block-join over a narrow scan); spread them before the expansion
-      // join below multiplies each pair by |shingles(doc_a)|.
-      .repartition(col("doc_a"), col("doc_b"))
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      .join(carr.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(carr.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
   }
 
-  /** DuckDB twin of shingleSets/jaccardOf, parameterized by CTE text. */
+  /** DuckDB twin of the shingle-join exact-Jaccard verify, parameterized
+    * by CTE text (`cand` and `sh` CTEs supplied by the caller). */
   private def duckJaccardTail(threshold: Double): String = s"""
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     i AS (SELECT doc_a, doc_b, COUNT(*) AS inter
@@ -79,31 +65,58 @@ object DedupQueries {
     WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold
     ORDER BY doc_a, doc_b"""
 
-  /** d53 core, reused by d55's cluster resolution: bigram-shingle Jaccard
-    * pairs (threshold 0.5) from length-bucket blocking. Per-doc shingle
-    * SETS stay as sorted array columns of md5-hashed longs (one row per
-    * doc, no explode): both sides of the candidate join broadcast, so the
-    * only distributed work is a SortedOverlap merge scan per candidate
-    * pair across the repartitioned block-join output — no 50x expansion
-    * shuffle, no pair-count groupBy, no per-pair string hashing. */
-  private[graft] def bigramPairs(s: SparkSession, dir: String): DataFrame = {
-    val arr = documents(s, dir)
+  /** Candidate pairs from length-bucket blocking, optionally composed
+    * with extra equality columns (lang, source, ...). Exposed separately
+    * so specs can measure candidate-count reduction from key
+    * composition without running the verify stage. */
+  private[graft] def blockedCandidates(docs: DataFrame,
+                                       extraBlockCols: Seq[String]): DataFrame = {
+    val blocks = docs.select(
+      col("doc_id") +: expr("size(split(text, ' ')) div 8").as("bucket") +:
+        extraBlockCols.map(col): _*)
+    val sameBlock = extraBlockCols.foldLeft(col("x.bucket") === col("y.bucket")) {
+      (acc, c) => acc && col(s"x.$c") === col(s"y.$c")
+    }
+    blocks.as("x").join(blocks.as("y"),
+        sameBlock && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .repartition(col("doc_a"), col("doc_b")) // spread the single-task block join
+  }
+
+  /** d53/d58 core, reused by d55's cluster resolution: bigram-shingle
+    * Jaccard pairs (threshold 0.5) from length-bucket blocking. Per-doc
+    * shingle SETS stay as sorted array columns of md5-hashed longs (one
+    * row per doc, no explode); the verify stage attaches only the
+    * candidate docs' sets ([[attachSets]]) and intersects each pair with
+    * one SortedOverlap merge scan — no 50x expansion shuffle, no
+    * pair-count groupBy, no per-pair string hashing.
+    *
+    * `extraBlockCols` composes the block key (length × lang × source per
+    * SCALE.md) — the candidate-count knob as the corpus grows: one
+    * length bucket alone holds millions of docs at 100 TB (quadratic
+    * inside the bucket), while composing with metadata splits it by the
+    * product of the metadata cardinalities. It is a recall trade the
+    * CALLER must justify against the corpus: on this synthetic testdata
+    * the planted near-dups are metadata-uncorrelated (measured at
+    * sf0.01: 18/18 true pairs cross-source, 13/18 cross-lang), so d53
+    * keeps the full-recall length key and d58 demonstrates the composed
+    * key. At real corpus scale the d51 MinHash banding — whose key is
+    * content-derived, so recall-free — is the preferred path; composed
+    * blocking is the mitigation when d53's simplicity is wanted. */
+  private[graft] def bigramPairs(s: SparkSession, dir: String,
+                                 extraBlockCols: Seq[String] = Nil): DataFrame =
+    bigramPairsOf(documents(s, dir), extraBlockCols)
+
+  /** [[bigramPairs]] over an arbitrary docs frame (spec entry point). */
+  private[graft] def bigramPairsOf(docs: DataFrame,
+                                   extraBlockCols: Seq[String] = Nil): DataFrame = {
+    val arr = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"),
         array_sort(array_distinct(transform(shingles(col("w"), 2),
           x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
-    val blocks = documents(s, dir)
-      .select(col("doc_id"), expr("size(split(text, ' ')) div 8").as("bucket"))
-    val cand = blocks.as("x").join(blocks.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .repartition(col("doc_a"), col("doc_b")) // spread the single-task block join
-    cand
-      .join(broadcast(arr.select(col("doc_id").as("doc_a"), col("sh").as("sha"))),
-            Seq("doc_a"))
-      .join(broadcast(arr.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
-            Seq("doc_b"))
+    attachSets(blockedCandidates(docs, extraBlockCols), arr)
       .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
       .filter(col("inter") > 0)
       .withColumn("jaccard",
@@ -113,17 +126,21 @@ object DedupQueries {
   }
 
   /** DuckDB twin of [[bigramPairs]] (a complete SELECT; embeddable as a
-    * parenthesized subquery). */
-  private[graft] val duckBigramPairsSql: String = s"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    * parenthesized subquery), same `extraBlockCols` composition. */
+  private[graft] def duckBigramPairsSql(extraBlockCols: Seq[String] = Nil): String = {
+    val extraSel = extraBlockCols.map(c => s", $c").mkString
+    val extraOn = extraBlockCols.map(c => s" AND x.$c = y.$c").mkString
+    s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w$extraSel FROM documents),
         sh AS (SELECT DISTINCT doc_id, ${duckHexToLong("md5(shingle)", 15)} AS shingle
                FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS shingle
                      FROM t WHERE len(w) >= 2)),
-        blocks AS (SELECT doc_id, len(w) // 8 AS bucket FROM t),
+        blocks AS (SELECT doc_id, len(w) // 8 AS bucket$extraSel FROM t),
         cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
                  FROM blocks x JOIN blocks y
-                 ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+                 ON x.bucket = y.bucket$extraOn AND x.doc_id < y.doc_id),
         ${duckJaccardTail(0.5)}"""
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -143,10 +160,10 @@ object DedupQueries {
     // so the K minhash values are array_min over a transform — computed in
     // one pass per row with NO explode/distinct/groupBy shuffle at all.
     // Band self-join (equality on band key) produces candidates; exact
-    // Jaccard verification intersects md5-hashed long arrays per pair
-    // with both dimension sides broadcast (same pattern as d53). Total
-    // shuffle: the band join + candidate repartition — both bounded by
-    // docs x bands, never by shingle count. That's the 100 TB shape.
+    // Jaccard verification intersects md5-hashed long arrays per pair,
+    // attaching only candidate docs' sets (attachSets — same pattern as
+    // d53). Total shuffle: the band join + candidate repartition — both
+    // bounded by docs x bands, never by shingle count. The 100 TB shape.
     QueryDef("d51_minhash_lsh",
       (s, dir) => {
         val base = documents(s, dir)
@@ -192,11 +209,7 @@ object DedupQueries {
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val out = cand
-          .join(broadcast(arr.select(col("doc_id").as("doc_a"), col("sh").as("sha"))),
-                Seq("doc_a"))
-          .join(broadcast(arr.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
-                Seq("doc_b"))
+        val out = attachSets(cand, arr)
           // merge-scan intersection of the pre-sorted sets (codegen kernel;
           // equals size(array_intersect) exactly — see ArrayKernelsSpec)
           .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
@@ -264,9 +277,9 @@ object DedupQueries {
 
     // ---- d53: blocked n-gram Jaccard (bigram shingles, length blocking) --
     // Per-doc shingle SETS stay as array columns of md5-hashed LONGS (one
-    // row per doc, no explode): both sides of the candidate join
-    // broadcast (~|docs| rows of ~52 longs), so the only distributed work
-    // is a primitive-array intersect per candidate pair across the
+    // row per doc, no explode); the verify stage attaches only candidate
+    // docs' sets (attachSets), so the only distributed work is a
+    // primitive-array intersect per candidate pair across the
     // repartitioned block-join output — no 50x expansion shuffle, no
     // pair-count groupBy, no per-pair string hashing. The 60-bit md5
     // prefix is deterministic on any engine; the DuckDB oracle hashes
@@ -274,7 +287,21 @@ object DedupQueries {
     // yields the same answer on both sides.
     QueryDef("d53_ngram_jaccard",
       (s, dir) => bigramPairs(s, dir).orderBy("doc_a", "doc_b"),
-      Some(duckBigramPairsSql)),
+      Some(duckBigramPairsSql())),
+
+    // ---- d58: composed-key blocked Jaccard (length × lang) ---------------
+    // The SCALE.md candidate-cardinality knob made concrete: the same
+    // pipeline as d53 with the block key composed with `lang`. At sf0.01
+    // this cuts raw candidates ~3.7x (11,110 -> 3,002 pairs; lang ×
+    // source composition cuts 67x to 165 but has zero recall on this
+    // corpus — the planted dups are all cross-source, see bigramPairs
+    // scaladoc);
+    // returned pairs are the same-lang subset of d53's. At 100 TB the
+    // composition is what keeps a single length bucket from going
+    // quadratic.
+    QueryDef("d58_blocked_composed",
+      (s, dir) => bigramPairs(s, dir, Seq("lang")).orderBy("doc_a", "doc_b"),
+      Some(duckBigramPairsSql(Seq("lang")))),
 
     // ---- d57: containment detection (partial-copy / quote duplication) ---
     // Jaccard misses a small doc wholly quoted inside a big one (the
@@ -319,11 +346,7 @@ object DedupQueries {
                   greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
           .distinct()
           .repartition(col("doc_a"), col("doc_b"))
-        cand
-          .join(broadcast(arr.select(col("doc_id").as("doc_a"), col("sh").as("sha"))),
-                Seq("doc_a"))
-          .join(broadcast(arr.select(col("doc_id").as("doc_b"), col("sh").as("shb"))),
-                Seq("doc_b"))
+        attachSets(cand, arr)
           .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
           .withColumn("containment",
             greatest(col("inter").cast("double") / size(col("sha")),

@@ -11,7 +11,7 @@ class AdvancedSpec extends SparkSpec {
     AdvancedQueries.defs.find(_.name == name).get.run(spark, sf)
 
   test("q39 sketch: approx_count_distinct within error bound of the exact count") {
-    val rows = q("q39_approx_distinct")
+    val rows = AdvancedQueries.approxDistinctSketch(spark, sf)
       .select("n_exact", "n_approx").as[(Long, Long)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (exact, approx) =>
