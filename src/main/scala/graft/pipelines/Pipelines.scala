@@ -149,6 +149,101 @@ object Pipelines {
     E2(releases, playlists, topPlaylists, playlistTracks, recapDf)
   }
 
+  /** Pipeline-E3 outputs (v2's fallback + recommendation paths,
+    * 01_TestingPy/Spotify_API2.py:61-128, 248-290). */
+  final case class E3(
+      artists: DataFrame,
+      usedFallback: Boolean,
+      seedParams: DataFrame,
+      recommendations: DataFrame,
+      recap: DataFrame)
+
+  /** Max-5 seed truncation (Spotify_API2.py:253-263): the reference
+    * silently truncates each seed list to the API's max of 5 and joins
+    * with ','. One row, one `param` column. Order pinned to
+    * (popularity desc, id) — the reference's Python list order, which is
+    * its fetch ranking — via a sorted-struct collect (collect_list alone
+    * is shuffle-order-nondeterministic). */
+  private def seedParam(seeds: DataFrame): DataFrame =
+    seeds.select(struct((-col("popularity")).as("np"), col("id")).as("s"))
+      .agg(array_join(
+        transform(slice(array_sort(collect_list(col("s"))), 1, 5),
+                  x => x.getField("id")), ",").as("param"))
+
+  /** E3: v2's genre-search artists with the featured-playlists FALLBACK,
+    * plus seed-based track recommendations with max-5 seed truncation.
+    *
+    * The fallback branch (Spotify_API2.py:93-116) is an inherently
+    * driver-side decision in the reference (`if not all_artists:`) and
+    * stays one here — a limit-1 emptiness probe (the S7 discipline from
+    * Sinks.writeIfNonEmpty), never a row collect. The fallback dataflow
+    * is: top-5 featured playlists → their items → distinct track-artist
+    * ids → semi-join into the artist-detail payloads (the S5 batched
+    * multi-get output) → artist silver.
+    *
+    * @param genreArtistsBronze   primary genre-search artist payloads
+    *                             (may be empty — that's the trigger)
+    * @param featuredPlaylistsBronze fallback featured-playlist payloads
+    * @param playlistItems        `{track, added_at}` envelopes +
+    *                             `playlist_id` context column
+    * @param artistDetailsBronze  artist-detail payloads fetched for the
+    *                             fallback ids (S5 multi-get results)
+    * @param seedTracks           ranked seed candidates `(id, popularity)`
+    * @param seedArtists          ranked seed candidates `(id, popularity)`
+    * @param recommendationsBronze recommendation track payloads
+    */
+  def e3(spark: SparkSession,
+         genreArtistsBronze: DataFrame,
+         featuredPlaylistsBronze: DataFrame,
+         playlistItems: DataFrame,
+         artistDetailsBronze: DataFrame,
+         seedTracks: DataFrame,
+         seedArtists: DataFrame,
+         recommendationsBronze: DataFrame): E3 = {
+
+    val primary = dedupFirstWins(
+      Flatten.artists(genreArtistsBronze), Seq("id"),
+      Seq(col("popularity").desc, col("id")))
+    val usedFallback = primary.isEmpty
+    val artists =
+      if (!usedFallback) primary
+      else {
+        // limit:5 featured playlists (Spotify_API2.py:96-98), pinned to
+        // a deterministic ranking instead of API arrival order
+        val featured = topK(Flatten.playlists(featuredPlaylistsBronze), 5,
+          Seq(col("followers").desc, col("id")))
+        val items = semiJoin(playlistItems,
+          featured.select(col("id").as("playlist_id")), Seq("playlist_id"))
+        val ids = items
+          .select(explode(col("track.artists")).as("a"))
+          .select(col("a.id").as("id")).distinct()
+        dedupFirstWins(
+          semiJoin(Flatten.artists(artistDetailsBronze), ids, Seq("id")),
+          Seq("id"), Seq(col("popularity").desc, col("id")))
+      }
+
+    val seedParams = seedParam(seedTracks).select(col("param").as("seed_tracks"))
+      .crossJoin(seedParam(seedArtists).select(col("param").as("seed_artists")))
+
+    val recommendations = Flatten.recommendedTracks(recommendationsBronze)
+
+    val recapDf = recap(Seq(
+      "artists" -> artists, "recommendations" -> recommendations))
+
+    E3(artists, usedFallback, seedParams, recommendations, recapDf)
+  }
+
+  /** v1's audio-features enrichment (Spotify_API.py:114-130): per-track
+    * feature rows joined onto the track silver by id. The 100-id
+    * batching of the reference's fetch loop is the connector's S5
+    * concern (`PageClient.fetchByIds`, exercised end-to-end in
+    * PipelineSpec); by the time frames exist the enrichment is one
+    * broadcast-able lookup join. Tracks with no feature row survive
+    * with null features (the reference's merge keeps them too). */
+  def withAudioFeatures(tracks: DataFrame, features: DataFrame): DataFrame =
+    enrichJoin(tracks, features.withColumnRenamed("id", "af_id"), "id", "af_id")
+      .drop("af_id")
+
   // A1 recap comes from Relational.recap (column `table_name`) — a local
   // re-implementation here used to shadow it with a divergent schema.
 }

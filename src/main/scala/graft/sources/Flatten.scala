@@ -137,6 +137,21 @@ object Flatten {
         coalesce(col("track.preview_url"), lit("")).as("preview_url"),
         coalesce(col("track.external_urls.spotify"), lit("")).as("spotify_url"))
 
+  /** Recommendation tracks (v2's recommendations payload,
+    * Spotify_API2.py:270-285): ALL artist names joined (unlike the
+    * top-tracks shape, which keeps only the first), album name/release
+    * date, popularity, explicit flag. */
+  def recommendedTracks(bronze: DataFrame): DataFrame =
+    bronze.select(
+      col("id"),
+      col("name"),
+      joinedNames(col("artists")).as("artists"),
+      coalesce(col("popularity"), lit(0)).as("popularity"),
+      coalesce(col("album.name"), lit("")).as("album_name"),
+      col("album.release_date").as("release_date"),
+      releaseDateParsed(col("album.release_date")).as("release_dt"),
+      coalesce(col("explicit"), lit(false)).as("explicit"))
+
   /** Categories: 3-column silver table (Spotify_API3.py:296-304). */
   def categories(bronze: DataFrame): DataFrame =
     bronze.select(

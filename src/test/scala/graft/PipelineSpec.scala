@@ -120,4 +120,113 @@ class PipelineSpec extends SparkSpec {
     assert(pt.head.getAs[String]("owner_name") === "owner-p5")
     assert(pt.head.getAs[Double]("duration_min") === 1.02)
   }
+
+  private def playlist2(id: String, followers: Long): String =
+    s"""{"id":"$id","name":"pl-$id","description":"d",
+        "owner":{"id":"u","display_name":"owner-$id"},
+        "followers":{"total":$followers},"tracks":{"total":1},
+        "images":[],"external_urls":{"spotify":"http://p/$id"},
+        "public":true,"collaborative":false}"""
+
+  private def item2(trackId: String, plId: String, artistId: String): String =
+    s"""{"added_at":"2024-03-01T10:00:00Z","playlist_id":"$plId",
+        "track":{"id":"$trackId","name":"n","popularity":1,"duration_ms":61000,
+                 "explicit":false,"preview_url":"",
+                 "artists":[{"id":"$artistId","name":"artist-$artistId"}],
+                 "album":{"name":"alb"},"external_urls":{"spotify":""}}}"""
+
+  private def recTrack(id: String, pop: Int): String =
+    s"""{"id":"$id","name":"rec-$id","popularity":$pop,"duration_ms":60000,
+        "explicit":true,
+        "artists":[{"id":"a1","name":"A"},{"id":"a2","name":"B"}],
+        "album":{"id":"alb-$id","name":"album-$id","release_date":"2024"}}"""
+
+  test("E3 primary path: genre artists found, fallback not taken") {
+    import org.apache.spark.sql.types._
+    val itemSchema = Schemas.playlistItemBronze.add(StructField("playlist_id", StringType))
+    val seeds = Seq.empty[(String, Int)].toDF("id", "popularity")
+    val e3 = Pipelines.e3(spark,
+      genreArtistsBronze = bronze(Schemas.artistBronze, artist("a1", 7), artist("a1", 3)),
+      featuredPlaylistsBronze = bronze(Schemas.playlistBronze, playlist2("p1", 10)),
+      playlistItems = bronze(itemSchema, item2("t1", "p1", "fb1")),
+      artistDetailsBronze = bronze(Schemas.artistBronze, artist("fb1", 1)),
+      seedTracks = seeds, seedArtists = seeds,
+      recommendationsBronze = bronze(Schemas.trackBronze, recTrack("r1", 50)))
+    assert(!e3.usedFallback)
+    // dedup first-wins kept the more popular duplicate
+    assert(e3.artists.select("id", "popularity").as[(String, Int)].collect().toSeq
+      === Seq(("a1", 7)))
+    // empty seed frames -> empty params (reference omits the parameter)
+    assert(e3.seedParams.as[(String, String)].head() === (("", "")))
+  }
+
+  test("E3 fallback path: playlist-derived artists; seeds truncate to 5") {
+    import org.apache.spark.sql.types._
+    val itemSchema = Schemas.playlistItemBronze.add(StructField("playlist_id", StringType))
+    // 6 featured playlists; only the top-5 by followers are scanned, so
+    // p0's artist (fb-miss) must NOT appear
+    val featured = (0 to 5).map(i => playlist2(s"p$i", i * 10L))
+    val items = Seq(item2("t1", "p5", "fb1"), item2("t2", "p4", "fb2"),
+                    item2("t3", "p0", "fb-miss"))
+    val details = Seq(artist("fb1", 5), artist("fb2", 9), artist("fb-miss", 1))
+    // 7 ranked seeds: only the 5 most popular survive truncation
+    val seedTracks = (1 to 7).map(i => (s"t$i", i)).toDF("id", "popularity")
+    val e3 = Pipelines.e3(spark,
+      genreArtistsBronze = bronze(Schemas.artistBronze), // EMPTY -> fallback
+      featuredPlaylistsBronze = bronze(Schemas.playlistBronze, featured: _*),
+      playlistItems = bronze(itemSchema, items: _*),
+      artistDetailsBronze = bronze(Schemas.artistBronze, details: _*),
+      seedTracks = seedTracks,
+      seedArtists = Seq(("ar1", 2), ("ar2", 8)).toDF("id", "popularity"),
+      recommendationsBronze = bronze(Schemas.trackBronze,
+        recTrack("r1", 50), recTrack("r2", 60)))
+    assert(e3.usedFallback)
+    assert(e3.artists.select("id").as[String].collect().toSet === Set("fb1", "fb2"))
+    val (st, sa) = e3.seedParams.as[(String, String)].head()
+    assert(st === "t7,t6,t5,t4,t3", s"seed_tracks not truncated to top-5: $st")
+    assert(sa === "ar2,ar1")
+    // recommendation flatten: all artist names joined, album fields kept
+    val r1 = e3.recommendations.filter($"id" === "r1").head()
+    assert(r1.getAs[String]("artists") === "A, B")
+    assert(r1.getAs[String]("album_name") === "album-r1")
+    assert(r1.getAs[Boolean]("explicit"))
+    assert(r1.getAs[java.sql.Date]("release_dt").toString === "2024-01-01")
+    val recap = e3.recap.as[(String, Long)].collect().toMap
+    assert(recap === Map("artists" -> 2L, "recommendations" -> 2L))
+  }
+
+  test("audio-features enrichment end-to-end: batched multi-get -> lookup join") {
+    // Mirrors v1's get_audio_features flow (Spotify_API.py:114-130): ids
+    // in batches of 100 through the S5 multi-get, results become a
+    // features frame, then one broadcast lookup join onto the tracks.
+    // The endpoint is the synthetic LineFileClient (no egress); the
+    // batching, retry path, and join are the production shapes.
+    import graft.sources.paged.{LineFileClient, RetryingClient}
+    import java.nio.file.Files
+    val f = Files.createTempFile("af", ".txt").toFile
+    try {
+      val lines = (1 to 250).map { i =>
+        f"t$i%03d|feat-$i|${i % 100}|ID" // popularity slot stands in for the feature value
+      }
+      Files.write(f.toPath, String.join("\n", lines: _*).getBytes)
+      val client = new RetryingClient(new LineFileClient(f.getPath))
+      val trackIds = (1 to 205).map(i => f"t$i%03d")
+      // the reference's range(0, len, 100) chunk loop, verbatim semantics
+      val fetched = trackIds.grouped(100).flatMap { batch =>
+        client.fetchByIds(batch, Array("id", "popularity"))
+      }.toSeq
+      assert(fetched.length === 205) // 3 batches: 100 + 100 + 5
+      val features = fetched.map(r => (r(0), r(1).toInt)).toDF("id", "energy")
+      val tracks = Seq(("t001", "song-1"), ("t205", "song-205"), ("t999", "missing"))
+        .toDF("id", "name")
+      val enriched = Pipelines.withAudioFeatures(tracks, features)
+      val byId = enriched.select("id", "energy").as[(String, Option[Int])]
+        .collect().toMap
+      assert(byId("t001") === Some(1))
+      assert(byId("t205") === Some(5))
+      assert(byId("t999") === None) // featureless tracks survive with nulls
+      val plan = enriched.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    } finally f.delete()
+  }
 }
