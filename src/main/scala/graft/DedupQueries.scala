@@ -41,11 +41,17 @@ object DedupQueries {
     * by the corpus — and the joins carry NO hint, so AQE broadcasts the
     * restricted side only when it measures small at runtime. A forced
     * `broadcast(arr)` here (the round-4 shape) would ship every doc's
-    * shingle array to every executor: OOM at 100 TB corpus scale. */
-  private def attachSets(cand: DataFrame, arr: DataFrame): DataFrame = {
-    val ids = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
-      .distinct()
+    * shingle array to every executor: OOM at 100 TB corpus scale.
+    *
+    * The restriction may be any SUPERSET of the docs in candidate pairs
+    * (a semi join only filters; extra ids just leave the restricted side
+    * slightly bigger), so callers pass `ids` derived from their blocking
+    * structure — docs in non-singleton buckets / sharing a rare shingle —
+    * which is one aggregate over an exchange the candidate join already
+    * shuffles, instead of re-running the pair join itself. No `distinct`
+    * needed: left-semi ignores right-side duplicates. */
+  private def attachSets(cand: DataFrame, arr: DataFrame,
+                         ids: DataFrame): DataFrame = {
     val carr = arr.join(ids, Seq("doc_id"), "left_semi")
     cand
       .join(carr.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
@@ -70,17 +76,32 @@ object DedupQueries {
     * so specs can measure candidate-count reduction from key
     * composition without running the verify stage. */
   private[graft] def blockedCandidates(docs: DataFrame,
-                                       extraBlockCols: Seq[String]): DataFrame = {
+                                       extraBlockCols: Seq[String]): DataFrame =
+    blockedCandidatesWithIds(docs, extraBlockCols)._1
+
+  /** Candidate pairs plus the attachSets id superset: docs in
+    * non-singleton blocks (a doc alone in its block can't be in a pair).
+    * The occupancy aggregate shares the block frame the self-join
+    * shuffles anyway — far cheaper than re-deriving ids from the pair
+    * join output. */
+  private[graft] def blockedCandidatesWithIds(
+      docs: DataFrame, extraBlockCols: Seq[String]): (DataFrame, DataFrame) = {
+    val keyCols = "bucket" +: extraBlockCols
     val blocks = docs.select(
       col("doc_id") +: expr("size(split(text, ' ')) div 8").as("bucket") +:
         extraBlockCols.map(col): _*)
     val sameBlock = extraBlockCols.foldLeft(col("x.bucket") === col("y.bucket")) {
       (acc, c) => acc && col(s"x.$c") === col(s"y.$c")
     }
-    blocks.as("x").join(blocks.as("y"),
+    val cand = blocks.as("x").join(blocks.as("y"),
         sameBlock && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .repartition(col("doc_a"), col("doc_b")) // spread the single-task block join
+    val hot = blocks.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(keyCols.map(col): _*)
+    val ids = blocks.join(hot, keyCols, "left_semi").select("doc_id")
+    (cand, ids)
   }
 
   /** d53/d58 core, reused by d55's cluster resolution: bigram-shingle
@@ -116,7 +137,8 @@ object DedupQueries {
       .select(col("doc_id"),
         array_sort(array_distinct(transform(shingles(col("w"), 2),
           x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
-    attachSets(blockedCandidates(docs, extraBlockCols), arr)
+    val (cand, ids) = blockedCandidatesWithIds(docs, extraBlockCols)
+    attachSets(cand, arr, ids)
       .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
       .filter(col("inter") > 0)
       .withColumn("jaccard",
@@ -209,7 +231,15 @@ object DedupQueries {
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val out = attachSets(cand, arr)
+        // attachSets id superset: docs in non-singleton band buckets
+        // (one occupancy agg on the band exchange the self-join shuffles
+        // anyway — not a recompute of the pair join)
+        val hot = bands.groupBy("band_id", "bkey")
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .select("band_id", "bkey")
+        val ids = bands.join(hot, Seq("band_id", "bkey"), "left_semi")
+          .select("doc_id")
+        val out = attachSets(cand, arr, ids)
           // merge-scan intersection of the pre-sorted sets (codegen kernel;
           // equals size(array_intersect) exactly — see ArrayKernelsSpec)
           .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
@@ -346,7 +376,13 @@ object DedupQueries {
                   greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
           .distinct()
           .repartition(col("doc_a"), col("doc_b"))
-        attachSets(cand, arr)
+        // attachSets id superset: docs holding a rare shingle shared by
+        // >= 2 docs (any doc in a candidate pair shares its blocking
+        // shingle, so it qualifies); reuses the df aggregate
+        val ids = rex.join(rare.filter(col("df") >= 2).select("h"),
+                           Seq("h"), "left_semi")
+          .select("doc_id")
+        attachSets(cand, arr, ids)
           .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
           .withColumn("containment",
             greatest(col("inter").cast("double") / size(col("sha")),
