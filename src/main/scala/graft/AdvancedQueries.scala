@@ -47,6 +47,87 @@ object AdvancedQueries {
 
   private val WINDOW_US = 60000000L // 60 s in integer microseconds
 
+  /** d55 core, shared with d59: resolved duplicate clusters
+    * `(doc_id, cluster_id)` via iterative min-label propagation over the
+    * bigram-Jaccard pair edges. See the d55 QueryDef comment for the
+    * dataflow rationale; the driver loop only ever collects one
+    * change-count scalar per round. */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    // Both edge directions from ONE pass over the pair pipeline (an
+    // explode, not a union of two subtrees that would each recompute
+    // it). edges IS cached — unlike the one-shot caches dropped from
+    // d51/d56, it is re-read every propagation round, and the cached
+    // frame is two narrow longs per edge.
+    val edges = DedupQueries.bigramPairs(s, dir)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
+    var cur = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var prevCache: Option[DataFrame] = None
+    var changed = 1L
+    var iter = 0
+    val maxIter = 50 // O(component diameter) rounds; dup chains are shallow
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(cur, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"), lit(false).as("self"))
+      // One groupBy yields BOTH the new label (min over self+neighbors)
+      // and the old one (min over the self row) — the convergence
+      // check needs no extra join per round.
+      val next = cur.select(col("doc_id"), col("cluster_id"), lit(true).as("self"))
+        .union(prop)
+        .groupBy("doc_id")
+        .agg(min("cluster_id").as("new_cid"),
+             min(when(col("self"), col("cluster_id"))).as("old_cid"))
+        .cache()
+      changed = next.filter(col("new_cid") =!= col("old_cid")).count()
+      // next is materialized; the previous round's cache is now dead
+      prevCache.foreach(_.unpersist())
+      prevCache = Some(next)
+      cur = next.select(col("doc_id"), col("new_cid").as("cluster_id"))
+      iter += 1
+    }
+    // Converge or fail LOUDLY: a silent cap would ship cluster ids
+    // that aren't the component minimum (the oracle computes exact
+    // components, so truncation is wrong, not approximate). Round
+    // caches are dead on both paths — release them before any throw.
+    // cur reads the final cached `next`, not edges, so edges can go.
+    // The final `next` itself stays cached DELIBERATELY: the returned
+    // result depends on it, and its lineage chains through every
+    // (now-unpersisted) round — dropping it would make any re-execution
+    // replay the whole iteration. It is one narrow row per clustered
+    // doc; the frames worth releasing are released.
+    edges.unpersist()
+    if (changed > 0) {
+      prevCache.foreach(_.unpersist())
+      throw new IllegalStateException(
+        s"d55 label propagation did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — component diameter exceeds the cap")
+    }
+    cur
+  }
+
+  /** DuckDB twin of [[dupClusters]] as a CTE prefix ending in a
+    * `clusters(doc_id, cluster_id)` CTE — d55 selects it directly, d59
+    * anti-joins the corpus against its non-representative members. */
+  private val duckClusterCtes: String = s"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM (${DedupQueries.duckBigramPairsSql()})
+        ),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach AS (
+          SELECT doc_id, doc_id AS r FROM nodes
+          UNION
+          SELECT e.dst AS doc_id, r.r FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        clusters AS (SELECT doc_id, MIN(r) AS cluster_id
+                     FROM reach GROUP BY doc_id)"""
+
   /** The sketch half of q39: exact and HLL++ approximate distinct counts
     * side by side. Not in the oracled query set — the sketch value is
     * engine-specific (no DuckDB twin exists); AdvancedSpec pins its
@@ -149,77 +230,31 @@ object AdvancedQueries {
     // (same dataflow as large-scale CC algorithms a la large-star/
     // small-star, simplified for shallow dup clusters).
     QueryDef("d55_dup_clusters",
+      (s, dir) => dupClusters(s, dir).orderBy("doc_id"),
+      Some(s"""$duckClusterCtes
+        SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""")),
+
+    // ---- d59: dedup APPLY — the kept corpus after cluster resolution -----
+    // The step every pipeline actually ships: given resolved clusters
+    // (d55), keep each cluster's representative (min doc_id) plus all
+    // unclustered docs. One anti join of the corpus against the
+    // non-representative members — the drop list is bounded by near-dup
+    // volume, so at 100 TB AQE broadcasts it and the corpus never
+    // shuffles. Output is ids + metadata (the kept-set manifest), not
+    // text — the manifest is what downstream shards join against.
+    QueryDef("d59_dedup_apply",
       (s, dir) => {
-        // Both edge directions from ONE pass over the pair pipeline (an
-        // explode, not a union of two subtrees that would each recompute
-        // it). edges IS cached — unlike the one-shot caches dropped from
-        // d51/d56, it is re-read every propagation round, and the cached
-        // frame is two narrow longs per edge.
-        val edges = DedupQueries.bigramPairs(s, dir)
-          .select(explode(array(
-            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-            struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
-          .cache()
-        var cur = edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("cluster_id", col("doc_id"))
-        var prevCache: Option[DataFrame] = None
-        var changed = 1L
-        var iter = 0
-        val maxIter = 50 // O(component diameter) rounds; dup chains are shallow
-        while (changed > 0 && iter < maxIter) {
-          val prop = edges.join(cur, col("src") === col("doc_id"))
-            .select(col("dst").as("doc_id"), col("cluster_id"), lit(false).as("self"))
-          // One groupBy yields BOTH the new label (min over self+neighbors)
-          // and the old one (min over the self row) — the convergence
-          // check needs no extra join per round.
-          val next = cur.select(col("doc_id"), col("cluster_id"), lit(true).as("self"))
-            .union(prop)
-            .groupBy("doc_id")
-            .agg(min("cluster_id").as("new_cid"),
-                 min(when(col("self"), col("cluster_id"))).as("old_cid"))
-            .cache()
-          changed = next.filter(col("new_cid") =!= col("old_cid")).count()
-          // next is materialized; the previous round's cache is now dead
-          prevCache.foreach(_.unpersist())
-          prevCache = Some(next)
-          cur = next.select(col("doc_id"), col("new_cid").as("cluster_id"))
-          iter += 1
-        }
-        // Converge or fail LOUDLY: a silent cap would ship cluster ids
-        // that aren't the component minimum (the oracle computes exact
-        // components, so truncation is wrong, not approximate). Round
-        // caches are dead on both paths — release them before any throw.
-        // cur reads the final cached `next`, not edges, so edges can go.
-        // The final `next` itself stays cached DELIBERATELY: the returned
-        // result depends on it, and its lineage chains through every
-        // (now-unpersisted) round — dropping it would make any re-execution
-        // replay the whole iteration. It is one narrow row per clustered
-        // doc; the frames worth releasing are released.
-        edges.unpersist()
-        if (changed > 0) {
-          prevCache.foreach(_.unpersist())
-          throw new IllegalStateException(
-            s"d55 label propagation did not converge in $maxIter rounds " +
-            s"($changed labels still changing) — component diameter exceeds the cap")
-        }
-        cur.orderBy("doc_id")
+        val drop = dupClusters(s, dir)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id")
+        documents(s, dir).join(drop, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
       },
-      Some(s"""
-        WITH RECURSIVE pairs AS (
-          SELECT doc_a, doc_b FROM (${DedupQueries.duckBigramPairsSql()})
-        ),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                  UNION ALL
-                  SELECT doc_b, doc_a FROM pairs),
-        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-        reach AS (
-          SELECT doc_id, doc_id AS r FROM nodes
-          UNION
-          SELECT e.dst AS doc_id, r.r FROM reach r JOIN edges e ON e.src = r.doc_id
-        )
-        SELECT doc_id, MIN(r) AS cluster_id
-        FROM reach GROUP BY doc_id ORDER BY doc_id""")),
+      Some(s"""$duckClusterCtes
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+        ORDER BY d.doc_id""")),
 
     // ---- q38: exact discrete percentiles (SQL-standard inverse dist.) ----
     // percentile_disc RETURNS AN ELEMENT of the data (smallest value with

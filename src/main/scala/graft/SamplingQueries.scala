@@ -8,7 +8,7 @@ import graft.Tables.documents
 /** Deterministic sampling operators — training-data pipeline staples
   * (carve out eval sets, subsample for ablations) that must be
   * **reproducible across engines and re-runs**, which rules out
-  * `df.sample()` (partition-order dependent). Both samplers key on
+  * `df.sample()` (partition-order dependent). Every sampler keys on
   * md5(doc_id), so any engine — Spark at 100 TB or DuckDB over one file —
   * selects the identical row set.
   *
@@ -76,5 +76,32 @@ object SamplingQueries {
                    PARTITION BY lang, source
                    ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
           FROM documents)
-        WHERE rk <= 20 ORDER BY lang, source, rk""")))
+        WHERE rk <= 20 ORDER BY lang, source, rk""")),
+
+    // ---- s73: weighted domain-mixture sample (per-source rates) ----------
+    // The training-recipe operator: each source contributes at its own
+    // rate (the "mixture weights" of a data recipe). Rates here derive
+    // deterministically from the source index — src<i> samples at
+    // ((i mod 5) + 1) x 10% — standing in for a configured weights
+    // table; a real recipe would broadcast a tiny rates dim instead of
+    // computing the cutoff inline. The selection itself stays s71's
+    // pure map-side hash cutoff: per-row decision, no shuffle, no join,
+    // reproducible on any engine — so re-running the recipe (or
+    // backfilling a shard) selects the identical rows at 100 TB.
+    QueryDef("s73_mixture_sample",
+      (s, dir) => documents(s, dir)
+        .withColumn("cut",
+          (expr("CAST(substring(source, 4) AS BIGINT)") % 5 + 1) * lit(6554L))
+        .filter(conv(substring(h("mix|"), 1, 4), 16, 10).cast("long") < col("cut"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("source"),
+      Some("""
+        SELECT source, COUNT(*) AS n_sampled FROM documents
+        WHERE (strpos('0123456789abcdef', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+            < (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 6554
+        GROUP BY source ORDER BY source""")))
 }

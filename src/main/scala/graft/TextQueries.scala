@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Tables.documents
+import graft.functions.Similarity.shingles
 import graft.functions.TextAnalysis._
 
 /** Text-analysis suite over `documents`: token statistics, language ID,
@@ -128,5 +129,52 @@ object TextQueries {
       Some("""
         SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
                COUNT(*) AS n_dups, MIN(doc_id) AS keeper_doc_id
-        FROM documents GROUP BY fp ORDER BY fp""")))
+        FROM documents GROUP BY fp ORDER BY fp""")),
+
+    // ---- Repetition filter (Gopher-style quality rule) -------------------
+    // Repetitious text (boilerplate, SEO spam, degenerate generations) is
+    // the classic within-document quality signal: the fraction of
+    // duplicate words and the share of the single most frequent bigram.
+    // Both are ratios of exact integer counts (one IEEE division each —
+    // oracle-exact). The max bigram multiplicity is computed WITHOUT a
+    // (doc_id, gram) tally shuffle: it equals the longest equal-run in
+    // the doc's SORTED bigram list, one codegen MaxRun scan per row —
+    // repetition stays a pure per-row projection like the rest of the
+    // text family (local parity with the tally — shingling dominates
+    // both — but zero shuffles at any scale; see MaxRun scaladoc for
+    // measurements incl. why not a declarative fold). The oracle
+    // computes the same number as a per-gram count-max;
+    // max-run-of-sorted == max multiplicity for any total order.
+    // Thresholds follow the published Gopher rules' shape (flag if the
+    // top bigram exceeds ~18% of bigrams or half the words repeat).
+    QueryDef("t47_repetition",
+      (s, dir) => {
+        val w = split(col("text"), " ")
+        val grams = array_sort(shingles(w, 2))
+        val best = graft.expressions.MaxRun(grams)
+        documents(s, dir)
+          .filter(size(w) >= 2)
+          .select(col("doc_id"),
+            (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
+              .as("dup_word_frac"),
+            (best.cast("double") / size(grams)).as("top_bigram_frac"))
+          .withColumn("flagged",
+            col("top_bigram_frac") > 0.18 || col("dup_word_frac") > 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        base AS (SELECT doc_id,
+                        CAST(1 AS DOUBLE) - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
+                        w
+                 FROM t WHERE len(w) >= 2),
+        g AS (SELECT doc_id, dup_word_frac, unnest(${graft.functions.Similarity.duckShingles(2)}) AS g
+              FROM base),
+        c AS (SELECT doc_id, dup_word_frac, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+        a AS (SELECT doc_id, dup_word_frac, MAX(c) AS top_c, SUM(c) AS n_bigrams
+              FROM c GROUP BY 1, 2)
+        SELECT doc_id, dup_word_frac,
+               CAST(top_c AS DOUBLE) / n_bigrams AS top_bigram_frac,
+               (CAST(top_c AS DOUBLE) / n_bigrams > 0.18 OR dup_word_frac > 0.5) AS flagged
+        FROM a ORDER BY doc_id""")))
 }

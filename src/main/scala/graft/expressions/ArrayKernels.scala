@@ -212,3 +212,92 @@ object MinHashSig {
   def apply(hs: Column, k: Int, p: Long): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), k, p))
 }
+
+/** Longest run of equal ADJACENT elements in a string array — on a
+  * sorted array this is the max multiplicity of any element, which is
+  * t47's top-bigram count computed per row with NO (doc_id, gram) tally
+  * shuffle.
+  *
+  * Why an Expression: the same fold as a declarative
+  * `aggregate(...)` HOF is CodegenFallback and allocates a
+  * (prev, run, best) struct with a string copy per element — measured
+  * 2.4x SLOWER than even the two-shuffle groupBy tally at sf0.1
+  * (9.6s vs 4.1s). This compiled zero-allocation scan runs at parity
+  * with the tally locally (4.6s; shingle evaluation dominates both) —
+  * the win is structural: it removes both corpus-wide shuffles, the
+  * term that grows with corpus size, so per-doc repetition scoring
+  * stays embarrassingly parallel at 100 TB.
+  * Empty array → 0; null element → null (gated on containsNull,
+  * statically known).
+  */
+case class MaxRun(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"max_run requires an array<string> argument, got ${t.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private lazy val mayHaveNulls =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (mayHaveNulls) {
+      var i = 0
+      while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    }
+    var best = 0L; var run = 0L; var i = 0
+    var prev: UTF8String = null
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      run = if (prev != null && cur.equals(prev)) run + 1 else 1L
+      if (run > best) best = run
+      prev = cur
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val run = ctx.freshName("run"); val best = ctx.freshName("best")
+      val prev = ctx.freshName("prev"); val cur = ctx.freshName("cur")
+      val u = "org.apache.spark.unsafe.types.UTF8String"
+      val nullScan = if (mayHaveNulls) s"""
+        for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
+          if ($a.isNullAt($k)) ${ev.isNull} = true;
+        }""" else ""
+      s"""
+        final int $n = $a.numElements();
+        $nullScan
+        if (!${ev.isNull}) {
+          long $best = 0L; long $run = 0L;
+          $u $prev = null;
+          for (int $i = 0; $i < $n; $i++) {
+            final $u $cur = $a.getUTF8String($i);
+            $run = ($prev != null && $cur.equals($prev)) ? $run + 1L : 1L;
+            if ($run > $best) $best = $run;
+            $prev = $cur;
+          }
+          ${ev.value} = $best;
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): MaxRun =
+    copy(child = c)
+}
+
+object MaxRun {
+  def apply(a: Column): Column =
+    ColumnBridge.column(MaxRun(ColumnBridge.expression(a)))
+}

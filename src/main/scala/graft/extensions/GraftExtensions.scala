@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{MinHashSig, QCosine, SortedOverlap}
+import graft.expressions.{MaxRun, MinHashSig, QCosine, SortedOverlap}
 
 /** Session extensions: registers the engine's native expressions in the
   * SQL function registry, so `spark.sql("... qcosine(a, b) ...")` and the
@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"sorted_overlap expects 2 arguments, got ${children.length}")
         SortedOverlap(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("max_run"),
+      new ExpressionInfo(classOf[MaxRun].getName, "max_run"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"max_run expects 1 argument, got ${children.length}")
+        MaxRun(children(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.prop.TableDrivenPropertyChecks
 
-import graft.expressions.{MinHashSig, SortedOverlap}
+import graft.expressions.{MaxRun, MinHashSig, SortedOverlap}
 
 class ArrayKernelsSpec extends SparkSpec {
   import spark.implicits._
@@ -79,5 +79,26 @@ class ArrayKernelsSpec extends SparkSpec {
     assert(out1.forall(_.isNullAt(0)))
     val out2 = withNulls.select(MinHashSig($"a", 4, 4294967311L)).collect()
     assert(out2.forall(_.isNullAt(0)))
+  }
+
+  test("MaxRun on a sorted array equals the max element multiplicity") {
+    // Deterministic pseudo-random multisets from a small alphabet so
+    // multiplicities vary; the kernel must match the groupBy definition.
+    val rows = (0 until 200).map { i =>
+      val n = 2 + (i * 13) % 60
+      (0 until n).map(j => s"w${((i * 2654435761L + j * 40503L) % 7).abs}")
+    }
+    val df = rows.map(r => Tuple1(r.sorted)).toDF("a")
+    val viaKernel = df.select(MaxRun($"a")).as[Long].collect()
+    val viaAgg = rows.map(r =>
+      r.groupBy(identity).values.map(_.size.toLong).max)
+    assert(viaKernel.toSeq === viaAgg)
+  }
+
+  test("MaxRun: empty array is 0, a null element nulls the result out") {
+    assert(Seq(Tuple1(Seq.empty[String])).toDF("a")
+      .select(MaxRun($"a")).as[Long].head() === 0L)
+    val withNull = Seq(Tuple1(Seq[String]("x", null, "x"))).toDF("a")
+    assert(withNull.select(MaxRun($"a")).collect().head.isNullAt(0))
   }
 }

@@ -93,4 +93,16 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(msgs(e).exists(_.contains("minhash_sig")), s"opaque error for: $sql → $e")
     }
   }
+
+  test("max_run is callable from SQL and matches the Column API") {
+    import spark.implicits._
+    assert(spark.sql("SELECT max_run(array('a', 'a', 'a', 'b'))")
+      .as[Long].head() === 3L)
+    assert(spark.sql("SELECT max_run(sort_array(array('b', 'a', 'b')))")
+      .as[Long].head() === 2L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT max_run(array(1, 2))").collect()
+    }
+    assert(e.getMessage.contains("array<string>"))
+  }
 }
