@@ -2,6 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.expressions.SortedOverlap
+import graft.functions.Similarity.shingles
+
 /** Dedup-family structural tests: block-key composition and verify-join
   * plan shape. Result correctness is covered by the DuckDB oracles
   * (d50–d58); these tests pin the SCALE properties the oracles can't
@@ -58,6 +61,33 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "lang").as[(Long, String)].collect().toMap
     assert(d58.subsetOf(d53))
     assert(d58 == d53.filter { case (a, b) => lang(a) == lang(b) })
+  }
+
+  test("d51 banding recall measured against exhaustive Jaccard ground truth") {
+    // Ground truth: ALL pairs with trigram-shingle Jaccard >= 0.8 via an
+    // exhaustive self-join (feasible at sf0.001). d51's banding is
+    // probabilistic — P(candidate) = 1-(1-j^2)^BANDS, >= 0.997 at
+    // j=0.8 with 6 bands of 2 — and its verify stage is exact, so the
+    // output must be a SUBSET of truth with near-total recall.
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(shingles(col("w"), 3),
+          x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
+    val truth = base.as("a").join(base.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", SortedOverlap(col("a.sh"), col("b.sh")))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
+      .filter(col("j") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    val got = DedupQueries.defs.find(_.name == "d51_minhash_lsh").get
+      .run(spark, sf).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture has no ground-truth near-dup pairs")
+    assert(got.subsetOf(truth), "exact verify must never invent pairs")
+    val recall = got.size.toDouble / truth.size
+    info(s"d51 banding recall at j>=0.8: $recall (${got.size}/${truth.size})")
+    assert(recall >= 0.9, s"banding recall $recall below the s-curve expectation")
   }
 
   test("verify path never force-broadcasts a corpus-derived frame") {
