@@ -567,7 +567,12 @@ object AdvancedQueries {
           .groupBy("term").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-        tf.join(broadcast(dfreq), Seq("term"))
+        // No broadcast hint on `dfreq`: vocabulary grows with the corpus
+        // (Heaps' law — billions of distinct tokens on 100 TB of web
+        // text), so a forced broadcast OOMs at scale. Both sides are
+        // already term-keyed aggregates; AQE broadcasts only if the
+        // measured df table fits, else this is a same-key shuffle join.
+        tf.join(dfreq, Seq("term"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select("doc_id", "term", "tf", "df")

@@ -51,5 +51,14 @@ object PlanAudit {
       println(s"   codegen spans: $codegen")
       if (plan.contains("CartesianProduct"))
         println("   !!! CARTESIAN PRODUCT")
+      // Broadcast discipline (the q08/t45 class): forced broadcast of a
+      // fact/corpus-derived side. Allowlisted queries print their
+      // justification; anything else is a scale regression.
+      BroadcastGuard.forcedUnboundedBroadcasts(df).foreach { off =>
+        BroadcastGuard.allowlist.get(name) match {
+          case Some(why) => println(s"   broadcast allowlisted: $why")
+          case None      => println(s"   !!! FORCED BROADCAST: $off")
+        }
+      }
   }
 }

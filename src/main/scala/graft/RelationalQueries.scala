@@ -151,12 +151,17 @@ object RelationalQueries {
         GROUP BY p_brand ORDER BY p_brand""")),
 
     // ---- Left-semi join (J2 fan-out as relation: Spotify_API3.py:343-351)
+    // No broadcast hint on `urgent`: it is a constant FRACTION of a fact
+    // table (~1/5 of orders), so it grows with the dataset — a forced
+    // broadcast overrides AQE's size check and OOMs executors at 100x
+    // scale. Unhinted, AQE broadcasts only when the measured side fits,
+    // else plans a shuffled semi join (BroadcastGuard enforces this).
     QueryDef("q08_semi_join",
       (s, dir) => {
         val urgent = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
           .select("o_orderkey")
         lineitem(s, dir)
-          .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
           .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
           .orderBy("l_returnflag")
       },

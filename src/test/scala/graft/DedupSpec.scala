@@ -92,16 +92,21 @@ class DedupSpec extends SparkSpec {
 
   test("verify path never force-broadcasts a corpus-derived frame") {
     // The candidate-restriction semi join must be present, and no
-    // broadcast HINT may survive to the optimized plan (runtime
-    // broadcasts chosen by AQE on measured-small sides are fine — the
-    // defect is overriding the size check with a corpus-sized frame).
+    // broadcast HINT may survive into the Join nodes of the optimized
+    // plan (runtime broadcasts chosen by AQE on measured-small sides are
+    // fine — the defect is overriding the size check with a corpus-sized
+    // frame). NOTE: asserting on the "ResolvedHint" plan text is vacuous
+    // — EliminateResolvedHint folds the hint into Join.hint during
+    // optimization — so this walks the surviving JoinHint strategies
+    // via BroadcastGuard instead (which BroadcastGuardSpec proves fires
+    // on the defect shape).
     for (name <- Seq("d51_minhash_lsh", "d53_ngram_jaccard", "d57_containment")) {
       val df = DedupQueries.defs.find(_.name == name).get.run(spark, sf)
       val optimized = df.queryExecution.optimizedPlan.toString
       assert(optimized.contains("LeftSemi"),
         s"$name: candidate-restriction semi join missing:\n$optimized")
-      assert(!optimized.contains("ResolvedHint"),
-        s"$name: forced broadcast hint on the verify path:\n$optimized")
+      assert(BroadcastGuard.broadcastHintCount(df) == 0,
+        s"$name: forced broadcast hint on the verify path")
     }
   }
 }
