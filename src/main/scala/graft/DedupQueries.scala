@@ -87,9 +87,18 @@ object DedupQueries {
   private[graft] def blockedCandidatesWithIds(
       docs: DataFrame, extraBlockCols: Seq[String]): (DataFrame, DataFrame) = {
     val keyCols = "bucket" +: extraBlockCols
+    // NULL-safe composed keys: metadata columns (lang, source) are
+    // nullable at real corpus scale, and plain equality drops every
+    // NULL-metadata doc from candidate generation (NULL = NULL is false
+    // in the self-join AND the hot-block semi join) — an invisible
+    // recall hole the null-free synthetic testdata can't catch. Coalesce
+    // each block col to a sentinel so NULL groups with NULL: two docs
+    // with unknown lang stay mutual candidates (blocking keys only gate
+    // candidates; the exact-Jaccard verify still decides the pair).
+    // "\u0000" can't collide with real metadata values.
     val blocks = docs.select(
       col("doc_id") +: expr("size(split(text, ' ')) div 8").as("bucket") +:
-        extraBlockCols.map(col): _*)
+        extraBlockCols.map(c => coalesce(col(c).cast("string"), lit("\u0000")).as(c)): _*)
     val sameBlock = extraBlockCols.foldLeft(col("x.bucket") === col("y.bucket")) {
       (acc, c) => acc && col(s"x.$c") === col(s"y.$c")
     }

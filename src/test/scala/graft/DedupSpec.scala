@@ -52,6 +52,29 @@ class DedupSpec extends SparkSpec {
       "composed blocking lost within-group near-dup pairs")
   }
 
+  test("composed block keys are null-safe: NULL-metadata docs still pair") {
+    // Real corpora have nullable metadata; with plain equality NULL = NULL
+    // is false, so every NULL-lang doc silently vanishes from candidate
+    // generation (zero recall on that slice, invisible on null-free
+    // testdata). The coalesce-to-sentinel key must keep NULL grouped with
+    // NULL — and never smuggle a NULL doc into a real lang's block.
+    val docs = Seq(
+      (1L, "a b c d e f g h", null.asInstanceOf[String]),
+      (2L, "a b c d e f g h", null.asInstanceOf[String]),
+      (3L, "a b c d e f g h", "en"),
+      (4L, "a b c d e f g h", "en")
+    ).toDF("doc_id", "text", "lang")
+    val cand = DedupQueries.blockedCandidates(docs, Seq("lang"))
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L), (3L, 4L)),
+      s"NULL lang must block with NULL lang only, got $cand")
+    // and the verify pipeline (which routes ids through the hot-block
+    // semi join on the same keys) must surface the NULL-group pair too
+    val pairs = DedupQueries.bigramPairsOf(docs, Seq("lang"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("d58 returns the same-lang subset of d53's pairs") {
     val d53 = DedupQueries.bigramPairs(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
