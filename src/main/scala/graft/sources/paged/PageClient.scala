@@ -67,9 +67,17 @@ class LineFileClient(path: String) extends PageClient {
   * (401 → refresh token → retry, 01_TestingPy/Spotify_API.py:54-57;
   * plain errors → bounded retries). Token state is per-executor — no
   * driver round-trip per request.
+  *
+  * 429 handling: a [[RateLimitedException]] is retried AFTER a pause —
+  * the server's `Retry-After` value when it sent one, else exponential
+  * backoff from 500 ms (the reference's own pacing unit,
+  * 01_TestingPy/Spotify_API3.py:62-63). An immediate replay of a 429
+  * just burns an attempt against a server that already said "slow
+  * down". `sleeper` is injectable so specs run on a fake clock.
   */
 class RetryingClient(inner: PageClient, maxRetries: Int = 3,
-                     auth: TokenProvider = new TokenProvider) extends PageClient {
+                     auth: TokenProvider = new TokenProvider,
+                     sleeper: Long => Unit = Thread.sleep) extends PageClient {
 
   private def withRetry[T](f: => T): T = {
     var attempt = 0
@@ -81,6 +89,9 @@ class RetryingClient(inner: PageClient, maxRetries: Int = 3,
       } catch {
         case e: UnauthorizedException =>
           auth.invalidate(); last = e; attempt += 1
+        case e: RateLimitedException =>
+          last = e; attempt += 1
+          sleeper(e.retryAfterMs.getOrElse(500L << (attempt - 1)))
         case e: java.io.IOException =>
           last = e; attempt += 1
       }
@@ -99,6 +110,12 @@ class RetryingClient(inner: PageClient, maxRetries: Int = 3,
 }
 
 final class UnauthorizedException extends RuntimeException("401")
+
+/** 429 from the endpoint. Extends IOException (transient class) but is
+  * caught specifically by [[RetryingClient]] so the retry waits —
+  * honoring the server's `Retry-After` (milliseconds here) if present. */
+final class RateLimitedException(val retryAfterMs: Option[Long], url: String)
+    extends java.io.IOException(s"rate limited: $url")
 
 /** One TokenProvider per executor JVM (the documented S1 semantic):
   * partition readers share this instead of minting a token per page. */

@@ -15,7 +15,21 @@ import org.json4s.jackson.JsonMethods
   */
 trait HttpTransport {
   def get(url: String, headers: Map[String, String]): (Int, String)
+
+  /** Full reply including response headers (needed for `Retry-After` on
+    * 429). Default adapts [[get]] with no response headers so existing
+    * transports keep working; transports that can surface headers (the
+    * JDK one) override this. */
+  def fetch(url: String, headers: Map[String, String]): HttpReply = {
+    val (status, body) = get(url, headers)
+    HttpReply(status, body)
+  }
 }
+
+/** A transport response. `headers` keys are lower-cased on construction
+  * by transports that override [[HttpTransport.fetch]]. */
+final case class HttpReply(status: Int, body: String,
+                           headers: Map[String, String] = Map.empty)
 
 /** JDK-11+ `java.net.http` transport — the production default. No
   * third-party dependency; per-executor instances are cheap (the JDK
@@ -29,11 +43,20 @@ class JdkHttpTransport(timeoutMs: Long = 30000L) extends HttpTransport {
     .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
 
   override def get(url: String, headers: Map[String, String]): (Int, String) = {
+    val r = fetch(url, headers)
+    (r.status, r.body)
+  }
+
+  override def fetch(url: String, headers: Map[String, String]): HttpReply = {
     val b = HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs)).GET()
     headers.foreach { case (k, v) => b.header(k, v) }
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    (resp.statusCode(), resp.body())
+    import scala.jdk.CollectionConverters._
+    val hs = resp.headers().map().asScala.collect {
+      case (k, vs) if !vs.isEmpty => k.toLowerCase -> vs.get(0)
+    }.toMap
+    HttpReply(resp.statusCode(), resp.body(), hs)
   }
 }
 
@@ -65,12 +88,17 @@ class RestPageClient(transport: HttpTransport, base: String,
   private def request(params: Seq[(String, String)]): JValue = {
     val qs = params.map { case (k, v) => s"$k=${encode(v)}" }.mkString("&")
     val url = if (qs.isEmpty) base else s"$base?$qs"
-    val (status, body) =
-      transport.get(url, Map("Authorization" -> s"Bearer ${auth.token}"))
-    status match {
-      case ok if ok >= 200 && ok < 300 => JsonMethods.parse(body)
+    val reply =
+      transport.fetch(url, Map("Authorization" -> s"Bearer ${auth.token}"))
+    reply.status match {
+      case ok if ok >= 200 && ok < 300 => JsonMethods.parse(reply.body)
       case 401 => throw new UnauthorizedException
-      case 429 => throw new java.io.IOException(s"rate limited: $url")
+      case 429 =>
+        // Retry-After (seconds form) rides along so RetryingClient can
+        // honor the server's own pacing instead of a blind backoff.
+        val after = reply.headers.get("retry-after")
+          .flatMap(v => scala.util.Try(v.trim.toLong * 1000L).toOption)
+        throw new RateLimitedException(after, url)
       case s if s >= 500 => throw new java.io.IOException(s"server error $s: $url")
       case s => throw new IllegalStateException(s"unexpected status $s: $url")
     }
@@ -98,7 +126,10 @@ class RestPageClient(transport: HttpTransport, base: String,
     (j \ "total") match {
       case JInt(n) => n.toLong
       case JLong(n) => n
-      case _ => throw new java.io.IOException(s"no total in envelope from $base")
+      // IllegalStateException, NOT IOException: a malformed/changed
+      // envelope is deterministic — replaying it maxRetries times can't
+      // fix it (same fail-fast discipline as an unexpected status).
+      case _ => throw new IllegalStateException(s"no total in envelope from $base")
     }
   }
 

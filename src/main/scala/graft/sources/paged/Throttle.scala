@@ -1,0 +1,71 @@
+package graft.sources.paged
+
+/** Time seam for throttling/backoff code — specs substitute a fake clock
+  * whose `sleep` advances `nowMs` instantly, so rate-limit behavior is
+  * tested deterministically in microseconds of wall time. */
+trait Clock {
+  def nowMs: Long
+  def sleep(ms: Long): Unit
+}
+
+/** Production clock. */
+object SystemClock extends Clock {
+  override def nowMs: Long = System.currentTimeMillis()
+  override def sleep(ms: Long): Unit = if (ms > 0) Thread.sleep(ms)
+}
+
+/** S3: client-side rate limiter as a transport decorator — a token
+  * bucket in front of any [[HttpTransport]].
+  *
+  * The reference throttles unconditionally: `time.sleep(0.5)` before
+  * every call (`01_TestingPy/Spotify_API3.py:62-63`), i.e. ≤2 requests
+  * per second — the default here. A token bucket generalizes that exact
+  * contract: at `burst = 1` it degenerates to the reference's fixed
+  * inter-request gap, while `burst > 1` lets a deployment absorb short
+  * spikes without raising the sustained rate.
+  *
+  * Scale shape: this object lives per-executor (wrapped around the
+  * per-partition transport), so `ratePerSec` is the PER-EXECUTOR rate;
+  * a cluster-wide budget must be divided by the number of concurrent
+  * partition readers when configuring it. State is a single (tokens,
+  * timestamp) pair under the instance lock — request threads on one
+  * executor serialize only for the refill arithmetic, not the I/O.
+  */
+class TokenBucketTransport(inner: HttpTransport, ratePerSec: Double = 2.0,
+                           burst: Int = 1, clock: Clock = SystemClock)
+    extends HttpTransport {
+  require(ratePerSec > 0, "ratePerSec must be positive")
+  require(burst >= 1, "burst must be at least 1")
+
+  private[this] var tokens: Double = burst.toDouble
+  private[this] var last: Long = clock.nowMs
+
+  private def refill(): Unit = {
+    val now = clock.nowMs
+    tokens = math.min(burst.toDouble, tokens + (now - last) / 1000.0 * ratePerSec)
+    last = now
+  }
+
+  /** Block until a token is available, then spend it. */
+  private def acquire(): Unit = synchronized {
+    refill()
+    if (tokens < 1.0) {
+      clock.sleep(math.ceil((1.0 - tokens) / ratePerSec * 1000.0).toLong)
+      refill()
+    }
+    // after the computed sleep the bucket holds ~1.0 tokens; going
+    // fractionally negative from ceil/float rounding self-corrects on
+    // the next refill
+    tokens -= 1.0
+  }
+
+  override def get(url: String, headers: Map[String, String]): (Int, String) = {
+    acquire()
+    inner.get(url, headers)
+  }
+
+  override def fetch(url: String, headers: Map[String, String]): HttpReply = {
+    acquire()
+    inner.fetch(url, headers)
+  }
+}

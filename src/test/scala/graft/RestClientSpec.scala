@@ -21,6 +21,31 @@ class RestClientSpec extends AnyFunSuite {
     }
   }
 
+  /** Canned transport with full replies (headers included) for the
+    * Retry-After paths. */
+  private class CannedFull(replies: HttpReply*) extends HttpTransport {
+    var requests: List[String] = Nil
+    private var i = 0
+    private def next(url: String): HttpReply = {
+      requests ::= url
+      val r = replies(math.min(i, replies.length - 1)); i += 1; r
+    }
+    override def get(url: String, headers: Map[String, String]): (Int, String) = {
+      val r = next(url); (r.status, r.body)
+    }
+    override def fetch(url: String, headers: Map[String, String]): HttpReply =
+      next(url)
+  }
+
+  /** Deterministic clock: `sleep` advances time instantly and records
+    * the requested pause. */
+  private class FakeClock(start: Long = 0L) extends Clock {
+    var now: Long = start
+    var sleeps: List[Long] = Nil // head = most recent
+    override def nowMs: Long = now
+    override def sleep(ms: Long): Unit = { sleeps ::= ms; now += ms }
+  }
+
   private def envelope(total: Int, items: String*): String =
     s"""{"total": $total, "items": [${items.mkString(",")}]}"""
 
@@ -88,5 +113,75 @@ class RestClientSpec extends AnyFunSuite {
                                new TokenProvider)
     intercept[IllegalStateException] { c.total() }
     assert(t.requests.length === 1)
+  }
+
+  test("malformed envelope fails fast through RetryingClient (deterministic, no replay)") {
+    // A response missing `total` is a CONTRACT break, not a transient
+    // fault: replaying it maxRetries times yields the same bytes. It
+    // must surface as IllegalStateException (which RetryingClient does
+    // not catch) after exactly one request.
+    val t = new Canned((200, """{"items": []}"""))
+    val c = new RetryingClient(
+      new RestPageClient(t, "https://api.example.com/a", new TokenProvider),
+      maxRetries = 3)
+    intercept[IllegalStateException] { c.total() }
+    assert(t.requests.length === 1)
+  }
+
+  test("429 is retried only after honoring the server's Retry-After") {
+    val t = new CannedFull(
+      HttpReply(429, "", Map("retry-after" -> "3")),
+      HttpReply(200, envelope(1, """{"id":"a1"}""")))
+    var sleeps = List.empty[Long]
+    val c = new RetryingClient(
+      new RestPageClient(t, "https://api.example.com/a", new TokenProvider),
+      maxRetries = 3, sleeper = ms => sleeps ::= ms)
+    val rows = c.fetchPage(0, 10, None, Array("id"))
+    assert(rows.map(_.toSeq) === Seq(Seq("a1")))
+    assert(sleeps === List(3000L), "must pause the advertised 3s before replay")
+    assert(t.requests.length === 2)
+  }
+
+  test("429 without Retry-After backs off exponentially from 500ms") {
+    val t = new CannedFull(
+      HttpReply(429, ""), HttpReply(429, ""),
+      HttpReply(200, envelope(1, """{"id":"a1"}""")))
+    var sleeps = List.empty[Long]
+    val c = new RetryingClient(
+      new RestPageClient(t, "https://api.example.com/a", new TokenProvider),
+      maxRetries = 3, sleeper = ms => sleeps ::= ms)
+    val rows = c.fetchPage(0, 10, None, Array("id"))
+    assert(rows.map(_.toSeq) === Seq(Seq("a1")))
+    assert(sleeps.reverse === List(500L, 1000L))
+  }
+
+  test("S3 token bucket: burst, then paced at ratePerSec, refilling while idle") {
+    val inner = new Canned((200, "ok"))
+    val clock = new FakeClock
+    val t = new TokenBucketTransport(inner, ratePerSec = 2.0, burst = 2,
+                                     clock = clock)
+    t.get("u", Map.empty); t.get("u", Map.empty) // burst passes untouched
+    assert(clock.sleeps.isEmpty)
+    t.get("u", Map.empty) // bucket empty: wait one token period (500ms @2/s)
+    assert(clock.sleeps === List(500L))
+    t.get("u", Map.empty)
+    assert(clock.sleeps === List(500L, 500L))
+    clock.now += 10000 // long idle refills to the burst CAP, not 20 tokens
+    t.get("u", Map.empty); t.get("u", Map.empty)
+    assert(clock.sleeps.length === 2, "refilled burst passes untouched")
+    t.get("u", Map.empty)
+    assert(clock.sleeps === List(500L, 500L, 500L))
+    assert(inner.requests.length === 7, "throttle delays, never drops")
+  }
+
+  test("S3 defaults reproduce the reference contract: <=2 req/s, no burst") {
+    // Spotify_API3.py:62-63 sleeps 0.5s before every call; the default
+    // bucket (2/s, burst 1) yields the same inter-request gap.
+    val clock = new FakeClock
+    val t = new TokenBucketTransport(new Canned((200, "ok")), clock = clock)
+    t.get("u", Map.empty)
+    assert(clock.sleeps.isEmpty, "first call of a fresh bucket is free")
+    t.get("u", Map.empty); t.get("u", Map.empty)
+    assert(clock.sleeps === List(500L, 500L))
   }
 }
