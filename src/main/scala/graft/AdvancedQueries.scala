@@ -383,27 +383,34 @@ object AdvancedQueries {
 
     // ---- q41: funnel analysis (ordered sequence matching) ----------------
     // How many users progress view -> click -> purchase IN ORDER? The
-    // cascaded-min formulation is exact and fully distributed: stage n's
-    // earliest qualifying time is the min event time strictly after stage
-    // n-1's — three filtered aggregations chained by equality joins on
-    // user_id (each one shuffle on the same key, so Exchange reuse keeps
-    // it to one physical shuffle). No per-user sequence materialization,
-    // no sort — per-user state is one timestamp per stage, O(1).
+    // cascaded-min formulation is exact: stage n's earliest qualifying
+    // time is the min event time strictly after stage n-1's. Computed as
+    // three chained unbounded windows over ONE user_id partitioning —
+    // the previous three-filtered-aggregations-with-joins shape claimed
+    // Exchange reuse, but its three exchange subtrees differed (each
+    // event_type filter pushes below its exchange), so it really paid
+    // three shuffles of events. Here every window and the per-user
+    // collapse require the same clustering, so the physical plan carries
+    // exactly one user_id exchange and one sort (AdvancedSpec pins the
+    // exchange count). Per-user memory is the user's own event rows in
+    // the window buffer — bounded by per-user activity, not the corpus.
     QueryDef("q41_funnel",
       (s, dir) => {
         val e = events(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
-        val s1 = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts_us").as("t1"))
-        val s2 = e.filter(col("event_type") === "click")
-          .join(s1, Seq("user_id"))
-          .filter(col("ts_us") > col("t1"))
-          .groupBy("user_id").agg(min("ts_us").as("t2"))
-        val s3 = e.filter(col("event_type") === "purchase")
-          .join(s2, Seq("user_id"))
-          .filter(col("ts_us") > col("t2"))
-          .groupBy("user_id").agg(min("ts_us").as("t3"))
-        s1.join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
-          .join(s3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+        val w = Window.partitionBy("user_id")
+        e
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts_us"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts_us") > col("t1"),
+                     col("ts_us"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
+                     col("ts_us"))).over(w))
+          // the funnel universe is users with a view (stage 1)
+          .filter(col("t1").isNotNull)
+          // t2/t3 are per-user constants; any row's value represents the user
+          .groupBy("user_id").agg(first("t2").as("t2"), first("t3").as("t3"))
           .select(
             (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
                      + when(col("t3").isNotNull, 1L).otherwise(0L)).as("funnel_step"))

@@ -44,7 +44,13 @@ object PlanAudit {
         .filter(plan.contains)
       // codegen stages print as `*(n)` operator prefixes in plan strings
       val codegen = "\\*\\(\\d+\\)".r.findAllIn(plan).toSeq.distinct.size
+      // shuffle count (AQE executed plans print one ShuffleQueryStage per
+      // materialized exchange; reused stages print as ReusedExchange /
+      // a repeated stage id and are not new shuffles)
+      val shuffles = plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("ReusedExchange"))
       println(s"== $name")
+      println(s"   shuffles: $shuffles")
       pushed.foreach(p => println(s"   $p"))
       reads.foreach(r => println(s"   ${r.take(120)}"))
       if (joins.nonEmpty) println(s"   joins: ${joins.mkString(", ")}")

@@ -21,6 +21,26 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q41 funnel plans exactly one user_id shuffle (single-pass window cascade)") {
+    // The previous three-aggregations-with-joins shape shuffled events
+    // three times (one exchange per event_type filter — the filters push
+    // below the exchanges, so ReuseExchange can't unify them). The window
+    // cascade must carry ONE user_id exchange: this pins the scale
+    // property. AQE off so exchanges appear as plain nodes, not stages.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = q("q41_funnel")
+      val shuffles = df.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      val onUser = shuffles.filter(_.outputPartitioning.toString.contains("user_id"))
+      assert(onUser.size === 1,
+        s"expected exactly one user_id exchange, got ${onUser.size}:\n" +
+          df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("d55 clusters: every near-dup pair is co-clustered, representative is the min") {
     val pairs = DedupQueries.bigramPairs(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
