@@ -40,7 +40,10 @@ object Bench {
         }
       (name, ok.getOrElse(-1.0), ok.isDefined)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // failed queries are NOT in the per-query map (a -1.0 sentinel reads
+    // as a duration to anything aggregating or plotting it); they're
+    // enumerated in `failed` and poison the headline total below
+    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // headline total = -1 (hard failure) when ANY query failed: summing
