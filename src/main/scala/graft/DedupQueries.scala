@@ -315,6 +315,15 @@ object DedupQueries {
       }),
 
     // ---- d53: blocked n-gram Jaccard (bigram shingles, length blocking) --
+    // AT-SCALE DEFAULT: this QueryDef keeps the LENGTH-ONLY block key for
+    // full recall on this metadata-uncorrelated testdata — but one length
+    // bucket holds millions of docs at 100 TB (quadratic inside the
+    // bucket). A deployment reaching for d53 first should either compose
+    // the key with metadata (`bigramPairs(s, dir, Seq("lang", ...))` —
+    // the d58 form below; a recall trade the caller must justify against
+    // their corpus) or prefer d51's MinHash banding, whose key is
+    // content-derived and therefore recall-free. See bigramPairs scaladoc
+    // for the measured trade.
     // Per-doc shingle SETS stay as array columns of md5-hashed LONGS (one
     // row per doc, no explode); the verify stage attaches only candidate
     // docs' sets (attachSets), so the only distributed work is a
