@@ -149,15 +149,21 @@ object TextQueries {
     // top bigram exceeds ~18% of bigrams or half the words repeat).
     QueryDef("t47_repetition",
       (s, dir) => {
+        // MaxPairMultiplicity consumes the WORD array directly: no
+        // bigram strings, no gram array, primitive-long sort — measured
+        // 16x over MaxRun(array_sort(shingles(w,2))) at sf0.1 (4.8s ->
+        // 0.3s; the string pipeline's cost was concat_ws allocation +
+        // byte-wise string sort). ArrayKernelsSpec pins equivalence to
+        // the string path; see the kernel scaladoc for the 64-bit
+        // collision caveat (~1e-13/doc). n_bigrams = size(w) - 1.
         val w = split(col("text"), " ")
-        val grams = array_sort(shingles(w, 2))
-        val best = graft.expressions.MaxRun(grams)
+        val best = graft.expressions.MaxPairMultiplicity(w)
         documents(s, dir)
           .filter(size(w) >= 2)
           .select(col("doc_id"),
             (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
               .as("dup_word_frac"),
-            (best.cast("double") / size(grams)).as("top_bigram_frac"))
+            (best.cast("double") / (size(w) - 1)).as("top_bigram_frac"))
           .withColumn("flagged",
             col("top_bigram_frac") > 0.18 || col("dup_word_frac") > 0.5)
           .orderBy("doc_id")

@@ -301,3 +301,111 @@ object MaxRun {
   def apply(a: Column): Column =
     ColumnBridge.column(MaxRun(ColumnBridge.expression(a)))
 }
+
+/** Max multiplicity over the ADJACENT word pairs (bigrams) of a string
+  * array, computed per row with no bigram materialization at all:
+  * each word hashes once (XXH64 over its bytes), each pair is the
+  * 64-bit chain hashLong(wordHash[i+1], seed = wordHash[i]), and the
+  * pair hashes — a primitive long[] — are sorted and run-scanned.
+  * Equals MaxRun(array_sort(shingles(w, 2))) (ArrayKernelsSpec pins the
+  * equivalence) but skips what dominates that pipeline's cost: n
+  * concat_ws string allocations, the gram array, and an O(n log n)
+  * STRING sort with per-comparison byte scans — here the sort is over
+  * primitive longs.
+  *
+  * Collision caveat (why t47 may still choose the string path): two
+  * DISTINCT bigrams colliding in 64 bits would merge their counts and
+  * overcount the max — probability ~m²/2⁶⁵ per doc (~1e-13 at m=1000),
+  * and unlike the dedup family's md5 hashing the DuckDB oracle does NOT
+  * hash the same way, so a collision would surface as an oracle
+  * mismatch rather than agree by construction. Fewer than 2 words → 0;
+  * null element → null (gated on containsNull, statically known). */
+case class MaxPairMultiplicity(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"max_pair_multiplicity requires an array<string> argument, got ${t.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private lazy val mayHaveNulls =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (mayHaveNulls) {
+      var k = 0
+      while (k < n) { if (arr.isNullAt(k)) return null; k += 1 }
+    }
+    if (n < 2) return 0L
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      wh(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    val ph = new Array[Long](n - 1)
+    i = 0
+    while (i < n - 1) { ph(i) = XXH64.hashLong(wh(i + 1), wh(i)); i += 1 }
+    java.util.Arrays.sort(ph)
+    var best = 1L; var run = 1L; i = 1
+    while (i < n - 1) {
+      run = if (ph(i) == ph(i - 1)) run + 1 else 1L
+      if (run > best) best = run
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val wh = ctx.freshName("wh"); val ph = ctx.freshName("ph")
+      val run = ctx.freshName("run"); val best = ctx.freshName("best")
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val nullScan = if (mayHaveNulls) s"""
+        for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
+          if ($a.isNullAt($k)) ${ev.isNull} = true;
+        }""" else ""
+      s"""
+        final int $n = $a.numElements();
+        $nullScan
+        if (!${ev.isNull}) {
+          if ($n < 2) {
+            ${ev.value} = 0L;
+          } else {
+            final long[] $wh = new long[$n];
+            for (int $i = 0; $i < $n; $i++) {
+              $wh[$i] = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+            }
+            final long[] $ph = new long[$n - 1];
+            for (int $i = 0; $i < $n - 1; $i++) {
+              $ph[$i] = $xxh.hashLong($wh[$i + 1], $wh[$i]);
+            }
+            java.util.Arrays.sort($ph);
+            long $best = 1L; long $run = 1L;
+            for (int $i = 1; $i < $n - 1; $i++) {
+              $run = ($ph[$i] == $ph[$i - 1]) ? $run + 1L : 1L;
+              if ($run > $best) $best = $run;
+            }
+            ${ev.value} = $best;
+          }
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): MaxPairMultiplicity =
+    copy(child = c)
+}
+
+object MaxPairMultiplicity {
+  def apply(a: Column): Column =
+    ColumnBridge.column(MaxPairMultiplicity(ColumnBridge.expression(a)))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{MaxRun, MinHashSig, QCosine, SortedOverlap}
+import graft.expressions.{MaxPairMultiplicity, MaxRun, MinHashSig, QCosine, SortedOverlap}
 
 /** Session extensions: registers the engine's native expressions in the
   * SQL function registry, so `spark.sql("... qcosine(a, b) ...")` and the
@@ -67,6 +67,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"max_run expects 1 argument, got ${children.length}")
         MaxRun(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("max_pair_multiplicity"),
+      new ExpressionInfo(classOf[MaxPairMultiplicity].getName,
+        "max_pair_multiplicity"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"max_pair_multiplicity expects 1 argument, got ${children.length}")
+        MaxPairMultiplicity(children(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),

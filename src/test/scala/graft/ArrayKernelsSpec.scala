@@ -101,4 +101,32 @@ class ArrayKernelsSpec extends SparkSpec {
     val withNull = Seq(Tuple1(Seq[String]("x", null, "x"))).toDF("a")
     assert(withNull.select(MaxRun($"a")).collect().head.isNullAt(0))
   }
+
+  test("MaxPairMultiplicity equals MaxRun over sorted bigram shingles") {
+    // The t47 hot kernel vs its string-pipeline definition: word lists
+    // with repeated phrases so bigram multiplicities vary, including
+    // words containing spaces-adjacent ambiguity breakers ("a b"+"c" vs
+    // "a"+"b c" must NOT merge — the chained per-word hash is
+    // boundary-aware where naive concatenation would not be).
+    import graft.expressions.MaxPairMultiplicity
+    import graft.functions.Similarity.shingles
+    val rows = (0 until 200).map { i =>
+      val n = 2 + (i * 13) % 60
+      (0 until n).map(j => s"w${((i * 2654435761L + j * 40503L) % 5).abs}")
+    } :+ Seq("ab", "c", "a", "bc", "ab", "c")
+    val df = rows.map(Tuple1(_)).toDF("w")
+    val got = df.select(MaxPairMultiplicity($"w")).as[Long].collect()
+    val want = df.select(
+      MaxRun(array_sort(shingles($"w", 2)))).as[Long].collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("MaxPairMultiplicity: short arrays are 0, null element nulls out") {
+    import graft.expressions.MaxPairMultiplicity
+    assert(Seq(Tuple1(Seq.empty[String]), Tuple1(Seq("only")))
+      .toDF("w").select(MaxPairMultiplicity($"w")).as[Long].collect()
+      .toSeq === Seq(0L, 0L))
+    val withNull = Seq(Tuple1(Seq[String]("x", null, "x"))).toDF("w")
+    assert(withNull.select(MaxPairMultiplicity($"w")).collect().head.isNullAt(0))
+  }
 }

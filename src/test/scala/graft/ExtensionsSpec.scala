@@ -105,4 +105,18 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("array<string>"))
   }
+
+  test("max_pair_multiplicity is callable from SQL with typed errors") {
+    import spark.implicits._
+    // "a b" repeats twice among the adjacent pairs of this word list
+    assert(spark.sql(
+      "SELECT max_pair_multiplicity(array('a', 'b', 'c', 'a', 'b'))")
+      .as[Long].head() === 2L)
+    assert(spark.sql("SELECT max_pair_multiplicity(array('only'))")
+      .as[Long].head() === 0L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT max_pair_multiplicity(array(1, 2))").collect()
+    }
+    assert(e.getMessage.contains("array<string>"))
+  }
 }
