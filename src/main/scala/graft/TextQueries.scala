@@ -137,16 +137,12 @@ object TextQueries {
     // duplicate words and the share of the single most frequent bigram.
     // Both are ratios of exact integer counts (one IEEE division each —
     // oracle-exact). The max bigram multiplicity is computed WITHOUT a
-    // (doc_id, gram) tally shuffle: it equals the longest equal-run in
-    // the doc's SORTED bigram list, one codegen MaxRun scan per row —
-    // repetition stays a pure per-row projection like the rest of the
-    // text family (local parity with the tally — shingling dominates
-    // both — but zero shuffles at any scale; see MaxRun scaladoc for
-    // measurements incl. why not a declarative fold). The oracle
-    // computes the same number as a per-gram count-max;
-    // max-run-of-sorted == max multiplicity for any total order.
-    // Thresholds follow the published Gopher rules' shape (flag if the
-    // top bigram exceeds ~18% of bigrams or half the words repeat).
+    // (doc_id, gram) tally shuffle — repetition stays a pure per-row
+    // projection like the rest of the text family, zero shuffles at any
+    // scale. The oracle computes the same number as a per-gram
+    // count-max. Thresholds follow the published Gopher rules' shape
+    // (flag if the top bigram exceeds ~18% of bigrams or half the words
+    // repeat).
     QueryDef("t47_repetition",
       (s, dir) => {
         // MaxPairMultiplicity consumes the WORD array directly: no
