@@ -351,7 +351,7 @@ object AdvancedQueries {
           .filter(size(col("w")) >= 5)
           .select(col("doc_id"), col("source"),
             explode(array_distinct(transform(shingles(col("w"), 5),
-              x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("g"))
+              x => graft.expressions.Md5Prefix60(x)))).as("g"))
         val bench = grams.filter(col("source") === "src0").select("g").distinct()
         val train = grams.filter(col("source") =!= "src0")
         val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{documents, embeddings}
-import graft.expressions.{MinHashSig, QCosine, SortedOverlap}
+import graft.expressions.{Md5Prefix60, MinHashSig, QCosine, SortedOverlap}
 import graft.functions.Similarity._
 
 /** Deduplication family over `documents` / `embeddings` — the core
@@ -145,7 +145,7 @@ object DedupQueries {
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"),
         array_sort(array_distinct(transform(shingles(col("w"), 2),
-          x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
+          x => Md5Prefix60(x)))).as("sh"))
     val (cand, ids) = blockedCandidatesWithIds(docs, extraBlockCols)
     attachSets(cand, arr, ids)
       .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
@@ -214,7 +214,7 @@ object DedupQueries {
         // round-1 persist experiment on d53).
         val pre = base.select(col("doc_id"),
           transform(col("shs"),
-            x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")).as("h60"))
+            x => Md5Prefix60(x)).as("h60"))
         // Sorted + distinct hashed shingle sets: the verify step below
         // intersects them with the SortedOverlap merge-scan kernel.
         val arr = pre.select(col("doc_id"),
@@ -376,7 +376,7 @@ object DedupQueries {
           .filter(size(col("w")) >= 2)
         val arr = base.select(col("doc_id"),
           array_sort(array_distinct(transform(shingles(col("w"), 2),
-            x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("sh"))
+            x => Md5Prefix60(x)))).as("sh"))
         val ex = arr.select(col("doc_id"), explode(col("sh")).as("h"))
         val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") <= MAXDF)

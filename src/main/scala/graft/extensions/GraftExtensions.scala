@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{MaxPairMultiplicity, MaxRun, MinHashSig, QCosine, SortedOverlap}
+import graft.expressions.{MaxPairMultiplicity, MaxRun, Md5Prefix60, MinHashSig, QCosine, SortedOverlap}
 
 /** Session extensions: registers the engine's native expressions in the
   * SQL function registry, so `spark.sql("... qcosine(a, b) ...")` and the
@@ -67,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"max_run expects 1 argument, got ${children.length}")
         MaxRun(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"md5_prefix60 expects 1 argument, got ${children.length}")
+        Md5Prefix60(children(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("max_pair_multiplicity"),

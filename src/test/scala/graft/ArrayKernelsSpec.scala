@@ -121,6 +121,29 @@ class ArrayKernelsSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("Md5Prefix60 equals the conv(substring(md5(x),1,15),16,10) idiom") {
+    // The dedup family's portable shingle hash, computed from digest
+    // bytes instead of hex text. MUST be bit-identical — the DuckDB
+    // oracles replay the hex-text idiom, so any divergence is an oracle
+    // mismatch, not a perf bug. Mixed-length + multibyte + empty inputs.
+    import graft.expressions.Md5Prefix60
+    val rows = ((0 until 500).map(i =>
+      s"shingle $i ${"x" * (i % 7)} é∆${i * 2654435761L}") :+ "").map(Tuple1(_))
+    val df = rows.toDF("s")
+    val got = df.select(Md5Prefix60($"s")).as[Long].collect()
+    val want = df.select(
+      conv(substring(md5($"s"), 1, 15), 16, 10).cast("long")).as[Long].collect()
+    assert(got.toSeq === want.toSeq)
+    // interpreted (non-codegen) path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val direct = graft.expressions.Md5Prefix60(
+      Literal.create(rows.head._1)).eval(null)
+    assert(direct === want.head)
+    // null in -> null out
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("s")
+    assert(n.select(Md5Prefix60($"s")).collect().head.isNullAt(0))
+  }
+
   test("MaxPairMultiplicity: short arrays are 0, null element nulls out") {
     import graft.expressions.MaxPairMultiplicity
     assert(Seq(Tuple1(Seq.empty[String]), Tuple1(Seq("only")))
