@@ -71,22 +71,19 @@ object DedupQueries {
     WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold
     ORDER BY doc_a, doc_b"""
 
-  /** Candidate pairs from length-bucket blocking, optionally composed
-    * with extra equality columns (lang, source, ...). Exposed separately
-    * so specs can measure candidate-count reduction from key
-    * composition without running the verify stage. */
+  /** Candidate pairs from the composed blocking key (length bucket ×
+    * MinHash band × optional metadata equality columns). Exposed
+    * separately so specs can measure candidate cardinality and cell
+    * occupancy without running the verify stage. */
   private[graft] def blockedCandidates(docs: DataFrame,
                                        extraBlockCols: Seq[String]): DataFrame =
     blockedCandidatesWithIds(docs, extraBlockCols)._1
 
-  /** Candidate pairs plus the attachSets id superset: docs in
-    * non-singleton blocks (a doc alone in its block can't be in a pair).
-    * The occupancy aggregate shares the block frame the self-join
-    * shuffles anyway — far cheaper than re-deriving ids from the pair
-    * join output. */
-  private[graft] def blockedCandidatesWithIds(
-      docs: DataFrame, extraBlockCols: Seq[String]): (DataFrame, DataFrame) = {
-    val keyCols = "bucket" +: extraBlockCols
+  /** Per-doc blocking cells: one row per (doc, band) carrying the full
+    * composed key (bucket, band_id, bkey, extras). Exposed so DedupSpec
+    * can assert the occupancy bound directly on the cell frame. */
+  private[graft] def blockingCells(docs: DataFrame,
+                                   extraBlockCols: Seq[String]): DataFrame = {
     // NULL-safe composed keys: metadata columns (lang, source) are
     // nullable at real corpus scale, and plain equality drops every
     // NULL-metadata doc from candidate generation (NULL = NULL is false
@@ -96,20 +93,69 @@ object DedupQueries {
     // with unknown lang stay mutual candidates (blocking keys only gate
     // candidates; the exact-Jaccard verify still decides the pair).
     // "\u0000" can't collide with real metadata values.
-    val blocks = docs.select(
+    val pre = docs.select(
       col("doc_id") +: expr("size(split(text, ' ')) div 8").as("bucket") +:
+        split(col("text"), " ").as("w") +:
         extraBlockCols.map(c => coalesce(col(c).cast("string"), lit("\u0000")).as(c)): _*)
-    val sameBlock = extraBlockCols.foldLeft(col("x.bucket") === col("y.bucket")) {
-      (acc, c) => acc && col(s"x.$c") === col(s"y.$c")
+      .filter(size(col("w")) >= 2)
+    // All K minhash values in one fused codegen pass (MinHashSig) over
+    // the bigram-shingle fingerprints. No array_distinct before the sig:
+    // min over a multiset equals min over its support, and the verify
+    // stage computes its own distinct sorted sets. The 32-bit fingerprint
+    // (top bits of the 60-bit md5 prefix) is the same derivation d51
+    // uses, so the DuckDB twin replays it digit-for-digit.
+    val sig = pre.select(
+      col("doc_id") +: col("bucket") +:
+        MinHashSig(transform(shingles(col("w"), 2),
+          x => shiftright(Md5Prefix60(x), 28)), K, P).as("sig") +:
+        extraBlockCols.map(col): _*)
+    val bandCols = (0 until BANDS).map { b =>
+      struct(lit(b).as("band_id"),
+             bandKey(Seq(col("sig")(2 * b), col("sig")(2 * b + 1))).as("bkey"))
     }
-    val cand = blocks.as("x").join(blocks.as("y"),
-        sameBlock && col("x.doc_id") < col("y.doc_id"))
+    sig.select(
+      col("doc_id") +: col("bucket") +: explode(array(bandCols: _*)).as("bd") +:
+        extraBlockCols.map(col): _*)
+      .select(
+        col("doc_id") +: col("bucket") +: col("bd.band_id").as("band_id") +:
+          col("bd.bkey").as("bkey") +: extraBlockCols.map(col): _*)
+  }
+
+  /** Candidate pairs plus the attachSets id superset: docs in
+    * non-singleton cells (a doc alone in its cell can't be in a pair).
+    * The occupancy aggregate shares the cell frame the self-join
+    * shuffles anyway — far cheaper than re-deriving ids from the pair
+    * join output.
+    *
+    * OCCUPANCY BOUND (the 100 TB property): the blocking key composes
+    * the length bucket with a MinHash BAND over the doc's bigram
+    * shingles (2 rows × BANDS bands from the same K-signature d51
+    * uses). A cell is (bucket, band_id, bkey, extras): two docs share
+    * one iff both minhashes of that band agree — probability j² for
+    * Jaccard-j pairs — so cell occupancy tracks the corpus's actual
+    * near-duplication factor, not its size. The former length-only key
+    * put a corpus FRACTION in each bucket (bucket count tracks document
+    * length, not corpus size), making the self-join O(fraction²) at
+    * 100 TB; band keys are content-derived, so adding distinct docs
+    * adds distinct keys and candidates stay linear in true near-dup
+    * volume (DedupSpec pins exactly this on a skewed one-bucket
+    * fixture). Recall is the d51 s-curve at the verify threshold:
+    * P(candidate) = 1-(1-j²)^BANDS — the trade for structural
+    * boundedness, measured on the planted sf testdata in DedupSpec. */
+  private[graft] def blockedCandidatesWithIds(
+      docs: DataFrame, extraBlockCols: Seq[String]): (DataFrame, DataFrame) = {
+    val keyCols = Seq("bucket", "band_id", "bkey") ++ extraBlockCols
+    val cells = blockingCells(docs, extraBlockCols)
+    val sameCell = keyCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)
+    val cand = cells.as("x").join(cells.as("y"),
+        sameCell && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .repartition(col("doc_a"), col("doc_b")) // spread the single-task block join
-    val hot = blocks.groupBy(keyCols.map(col): _*)
+      .distinct() // a pair sharing several bands appears once; the
+                  // distinct's hash exchange also spreads the cell join
+    val hot = cells.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       .select(keyCols.map(col): _*)
-    val ids = blocks.join(hot, keyCols, "left_semi").select("doc_id")
+    val ids = cells.join(hot, keyCols, "left_semi").select("doc_id")
     (cand, ids)
   }
 
