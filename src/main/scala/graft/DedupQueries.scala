@@ -14,10 +14,10 @@ import graft.functions.Similarity._
   *   - d51 MinHash + LSH      (shingle -> K minhashes -> band -> band-join
   *                             -> exact-Jaccard verify)
   *   - d52 SimHash            (per-token md5 votes -> 16-bit fingerprint)
-  *   - d53 blocked n-gram Jaccard (length-bucket blocking -> pairwise)
+  *   - d53 blocked n-gram Jaccard (length bucket × MinHash band -> verify)
   *   - d54 embedding near-dup (quantized-integer cosine, threshold pairs)
   *   - d57 containment detection (rare-shingle blocking, |A∩B|/|A|)
-  *   - d58 composed-key blocked Jaccard (length × lang blocking)
+  *   - d58 composed-key blocked Jaccard (length × band × lang blocking)
   *
   * Scale analysis (the reason these shapes were chosen):
   * d51/d53 never enumerate all pairs — candidates come from equality joins
@@ -29,9 +29,25 @@ import graft.functions.Similarity._
   */
 object DedupQueries {
 
-  private val K = 12      // minhash functions
-  private val BANDS = 6   // bands of 2 rows each => s-curve threshold ~0.6
-  private val P = 4294967311L // prime > 2^32 for the universal-hash family
+  // private[graft]: DedupSpec replays the signature/banding in plain
+  // Scala to pin the candidate formula independent of Spark and DuckDB.
+  private[graft] val K = 12      // minhash functions
+  private[graft] val BANDS = 6   // bands of 2 rows each => s-curve threshold ~0.6
+  private[graft] val P = 4294967311L // prime > 2^32 for the universal-hash family
+
+  // ---- DuckDB replay of the MinHash signature + banding ------------------
+  // The exact SQL spelling of MinHashSig (ArrayKernels.scala:167) and
+  // bandKey (Similarity.scala:43), shared by the d51 oracle and
+  // duckBigramPairsSql so both twins replay the same universal-hash
+  // family digit-for-digit: h is the 8-hex-digit (32-bit) md5 prefix,
+  // s_i = MIN((h*(2i+1) + (1000003*i + 12345)) % P), band key b =
+  // md5("s_{2b}|s_{2b+1}").
+  private def duckSigCols: String = (0 until K).map(i =>
+    s"MIN((h * ${2 * i + 1} + ${1000003L * i + 12345L}) % $P) AS s$i").mkString(", ")
+  private def duckBandIds: String = (0 until BANDS).mkString("[", ", ", "]")
+  private def duckBandKeys: String = (0 until BANDS)
+    .map(b => s"md5(CAST(s${2 * b} AS VARCHAR) || '|' || CAST(s${2 * b + 1} AS VARCHAR))")
+    .mkString("[", ", ", "]")
 
   /** Verify-stage attach: joins each side's sorted hashed shingle set
     * onto the candidate pairs WITHOUT broadcasting a corpus-derived
@@ -160,25 +176,33 @@ object DedupQueries {
   }
 
   /** d53/d58 core, reused by d55's cluster resolution: bigram-shingle
-    * Jaccard pairs (threshold 0.5) from length-bucket blocking. Per-doc
+    * Jaccard pairs (threshold 0.5) from COMPOSED blocking — length
+    * bucket × MinHash band (× `extraBlockCols` metadata). Per-doc
     * shingle SETS stay as sorted array columns of md5-hashed longs (one
     * row per doc, no explode); the verify stage attaches only the
     * candidate docs' sets ([[attachSets]]) and intersects each pair with
     * one SortedOverlap merge scan — no 50x expansion shuffle, no
     * pair-count groupBy, no per-pair string hashing.
     *
-    * `extraBlockCols` composes the block key (length × lang × source per
-    * SCALE.md) — the candidate-count knob as the corpus grows: one
-    * length bucket alone holds millions of docs at 100 TB (quadratic
-    * inside the bucket), while composing with metadata splits it by the
-    * product of the metadata cardinalities. It is a recall trade the
-    * CALLER must justify against the corpus: on this synthetic testdata
-    * the planted near-dups are metadata-uncorrelated (measured at
-    * sf0.01: 18/18 true pairs cross-source, 13/18 cross-lang), so d53
-    * keeps the full-recall length key and d58 demonstrates the composed
-    * key. At real corpus scale the d51 MinHash banding — whose key is
-    * content-derived, so recall-free — is the preferred path; composed
-    * blocking is the mitigation when d53's simplicity is wanted. */
+    * RECALL CONTRACT: the band component makes candidate generation
+    * probabilistic — P(candidate) = 1-(1-j²)^BANDS for a Jaccard-j pair
+    * (≈1 at j≥0.8: ≥0.998; ≈0.82 at exactly j=0.5, the verify
+    * threshold). That s-curve is the price of structural boundedness:
+    * a length-only key puts a corpus FRACTION in each bucket (quadratic
+    * inside the bucket at 100 TB), while band keys are content-derived,
+    * so candidates stay linear in true near-dup volume
+    * ([[blockedCandidatesWithIds]]). The DuckDB twin
+    * ([[duckBigramPairsSql]]) replays the banding digit-for-digit, so
+    * the oracle pins the exact candidate set, not just high-j luck;
+    * DedupSpec measures the bound and the borderline behavior.
+    *
+    * `extraBlockCols` further composes the key with metadata equality
+    * (length × band × lang × source per SCALE.md) — an ADDITIONAL
+    * deterministic recall trade the CALLER must justify against the
+    * corpus: on this synthetic testdata the planted near-dups are
+    * metadata-uncorrelated (measured at sf0.01: 18/18 true pairs
+    * cross-source, 13/18 cross-lang), so d53 passes Nil and d58
+    * demonstrates the lang-composed key. */
   private[graft] def bigramPairs(s: SparkSession, dir: String,
                                  extraBlockCols: Seq[String] = Nil): DataFrame =
     bigramPairsOf(documents(s, dir), extraBlockCols)
@@ -203,19 +227,39 @@ object DedupQueries {
   }
 
   /** DuckDB twin of [[bigramPairs]] (a complete SELECT; embeddable as a
-    * parenthesized subquery), same `extraBlockCols` composition. */
+    * parenthesized subquery), same `extraBlockCols` composition.
+    *
+    * Replays the COMPOSED candidate key — length bucket × MinHash band ×
+    * metadata columns — digit-for-digit: the sigh/sig/bands CTEs are the
+    * same replay the d51 oracle uses (shared [[duckSigCols]]/
+    * [[duckBandKeys]] spellings of MinHashSig/bandKey), over bigram
+    * shingles, so the oracle proves WHICH candidate pairs banding
+    * produces, not just the verified tail. MIN over the DISTINCT shingle
+    * multiset equals the Spark side's MIN over the raw multiset.
+    * Metadata equality is IS NOT DISTINCT FROM — the same NULL-groups-
+    * with-NULL semantics as the Spark coalesce-to-sentinel key. */
   private[graft] def duckBigramPairsSql(extraBlockCols: Seq[String] = Nil): String = {
     val extraSel = extraBlockCols.map(c => s", $c").mkString
-    val extraOn = extraBlockCols.map(c => s" AND x.$c = y.$c").mkString
+    val extraSelT = extraBlockCols.map(c => s", t.$c").mkString
+    val extraOn = extraBlockCols
+      .map(c => s" AND x.$c IS NOT DISTINCT FROM y.$c").mkString
     s"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w$extraSel FROM documents),
+        shs AS (SELECT DISTINCT doc_id, shingle
+                FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS shingle
+                      FROM t WHERE len(w) >= 2)),
         sh AS (SELECT DISTINCT doc_id, ${duckHexToLong("md5(shingle)", 15)} AS shingle
-               FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS shingle
-                     FROM t WHERE len(w) >= 2)),
-        blocks AS (SELECT doc_id, len(w) // 8 AS bucket$extraSel FROM t),
-        cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM shs),
+        sigh AS (SELECT doc_id, ${duckHexToLong("md5(shingle)", 8)} AS h FROM shs),
+        sig AS (SELECT doc_id, $duckSigCols FROM sigh GROUP BY doc_id),
+        blocks AS (SELECT sig.doc_id, len(t.w) // 8 AS bucket,
+                          unnest($duckBandIds) AS band_id,
+                          unnest($duckBandKeys) AS bkey$extraSelT
+                   FROM sig JOIN t ON t.doc_id = sig.doc_id),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                  FROM blocks x JOIN blocks y
-                 ON x.bucket = y.bucket$extraOn AND x.doc_id < y.doc_id),
+                 ON x.bucket = y.bucket AND x.band_id = y.band_id
+                    AND x.bkey = y.bkey$extraOn AND x.doc_id < y.doc_id),
         ${duckJaccardTail(0.5)}"""
   }
 
@@ -306,14 +350,7 @@ object DedupQueries {
           .orderBy("doc_a", "doc_b")
         out
       },
-      Some {
-        val sigCols = (0 until K).map(i =>
-          s"MIN((h * ${2 * i + 1} + ${1000003L * i + 12345L}) % $P) AS s$i").mkString(", ")
-        val bandIds = (0 until BANDS).mkString("[", ", ", "]")
-        val bandKeys = (0 until BANDS)
-          .map(b => s"md5(CAST(s${2 * b} AS VARCHAR) || '|' || CAST(s${2 * b + 1} AS VARCHAR))")
-          .mkString("[", ", ", "]")
-        s"""
+      Some(s"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         shs AS (SELECT DISTINCT doc_id, shingle
                 FROM (SELECT doc_id, unnest(${duckShingles(3)}) AS shingle
@@ -321,13 +358,12 @@ object DedupQueries {
         sh AS (SELECT DISTINCT doc_id, ${duckHexToLong("md5(shingle)", 15)} AS shingle
                FROM shs),
         sigh AS (SELECT doc_id, ${duckHexToLong("md5(shingle)", 8)} AS h FROM shs),
-        sig AS (SELECT doc_id, $sigCols FROM sigh GROUP BY doc_id),
-        bands AS (SELECT doc_id, unnest($bandIds) AS band_id, unnest($bandKeys) AS bkey FROM sig),
+        sig AS (SELECT doc_id, $duckSigCols FROM sigh GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest($duckBandIds) AS band_id, unnest($duckBandKeys) AS bkey FROM sig),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                  FROM bands x JOIN bands y
                  ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-        ${duckJaccardTail(0.8)}"""
-      }),
+        ${duckJaccardTail(0.8)}""")),
 
     // ---- d52: SimHash fingerprint (16-bit, md5-vote construction) --------
     QueryDef("d52_simhash",
@@ -360,16 +396,17 @@ object DedupQueries {
         SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
       }),
 
-    // ---- d53: blocked n-gram Jaccard (bigram shingles, length blocking) --
-    // AT-SCALE DEFAULT: this QueryDef keeps the LENGTH-ONLY block key for
-    // full recall on this metadata-uncorrelated testdata — but one length
-    // bucket holds millions of docs at 100 TB (quadratic inside the
-    // bucket). A deployment reaching for d53 first should either compose
-    // the key with metadata (`bigramPairs(s, dir, Seq("lang", ...))` —
-    // the d58 form below; a recall trade the caller must justify against
-    // their corpus) or prefer d51's MinHash banding, whose key is
-    // content-derived and therefore recall-free. See bigramPairs scaladoc
-    // for the measured trade.
+    // ---- d53: blocked n-gram Jaccard (bigram shingles, bucket × band) ----
+    // The candidate key composes the length bucket with a MinHash BAND
+    // over the doc's bigram shingles, so a hot length bucket can never go
+    // quadratic: cell occupancy tracks near-duplication, not corpus size
+    // (blockedCandidatesWithIds). The trade is the band s-curve —
+    // P(candidate) = 1-(1-j²)^BANDS, ≥0.998 at j≥0.8 but ≈0.82 for a
+    // pair sitting exactly at the 0.5 verify threshold — which the
+    // DuckDB oracle replays exactly and DedupSpec pins on a planted
+    // borderline pair. Deployments needing FULL recall at j=0.5 should
+    // raise BANDS (more bands of fewer rows shifts the s-curve left) and
+    // pay the wider candidate set.
     // Per-doc shingle SETS stay as array columns of md5-hashed LONGS (one
     // row per doc, no explode); the verify stage attaches only candidate
     // docs' sets (attachSets), so the only distributed work is a
@@ -383,16 +420,14 @@ object DedupQueries {
       (s, dir) => bigramPairs(s, dir).orderBy("doc_a", "doc_b"),
       Some(duckBigramPairsSql())),
 
-    // ---- d58: composed-key blocked Jaccard (length × lang) ---------------
+    // ---- d58: composed-key blocked Jaccard (length × band × lang) --------
     // The SCALE.md candidate-cardinality knob made concrete: the same
-    // pipeline as d53 with the block key composed with `lang`. At sf0.01
-    // this cuts raw candidates ~3.7x (11,110 -> 3,002 pairs; lang ×
-    // source composition cuts 67x to 165 but has zero recall on this
-    // corpus — the planted dups are all cross-source, see bigramPairs
-    // scaladoc);
-    // returned pairs are the same-lang subset of d53's. At 100 TB the
-    // composition is what keeps a single length bucket from going
-    // quadratic.
+    // pipeline as d53 with the block key further composed with `lang` —
+    // a deterministic metadata cut on top of the probabilistic band key
+    // (composing with source too would cut more but has zero recall on
+    // this corpus: the planted dups are all cross-source, see
+    // bigramPairs scaladoc). Returned pairs are the same-lang subset of
+    // d53's; DedupSpec asserts exactly that.
     QueryDef("d58_blocked_composed",
       (s, dir) => bigramPairs(s, dir, Seq("lang")).orderBy("doc_a", "doc_b"),
       Some(duckBigramPairsSql(Seq("lang")))),

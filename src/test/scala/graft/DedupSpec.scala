@@ -33,23 +33,125 @@ class DedupSpec extends SparkSpec {
     docs.toDF("doc_id", "text", "lang", "source")
   }
 
-  test("composed block key shrinks candidates without losing within-group pairs") {
-    val lenOnly = DedupQueries.blockedCandidates(skewedDocs, Nil).count()
+  test("banded block key bounds candidates by near-dup volume, not bucket size") {
+    // The 100 TB occupancy bound: the fixture's single length bucket
+    // holds all 100 docs — 20 identical-text clusters of 5 (4 metadata
+    // groups × 5 variants; variants share ZERO words, so true near-dup
+    // pairs are exactly 20 * C(5,2) = 200, all at j = 1.0). A length-only
+    // key would make every bucket pair a candidate: C(100,2) = 4950,
+    // quadratic in bucket size. The composed bucket × band key admits a
+    // pair only when a MinHash band agrees — certain for identical
+    // texts, a ~2^-32-per-shingle-hash fluke for disjoint ones — so
+    // candidates track the planted near-dup volume. Ceilings, not exact
+    // counts: BANDS/K tuning must not re-break this test.
+    val truePairs = 20L * (5 * 4 / 2)
+    val banded = DedupQueries.blockedCandidates(skewedDocs, Nil).count()
+    assert(banded >= truePairs, s"banding lost identical-text pairs: $banded")
+    assert(banded <= truePairs + 50,
+      s"banded candidates must track near-dup volume (~$truePairs), got $banded (all-pairs = 4950)")
+    // cell occupancy: no (bucket, band_id, bkey) cell may exceed its
+    // identical-text cluster (5 docs) beyond hash-fluke slack
+    val maxCell = DedupQueries.blockingCells(skewedDocs, Nil)
+      .groupBy("bucket", "band_id", "bkey").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxCell <= 10, s"cell occupancy must track cluster size (5), got $maxCell")
+    // composing metadata only removes cross-group candidates — and the
+    // true pairs are within-group, so verified output is unchanged
     val composed = DedupQueries.blockedCandidates(skewedDocs, Seq("lang", "source")).count()
-    // one length bucket: len-only candidates are all-pairs C(100,2);
-    // composition divides the bucket by the 4 metadata groups
-    assert(lenOnly == 100L * 99 / 2)
-    assert(composed == 4L * (25L * 24 / 2),
-      s"expected 4 * C(25,2) composed candidates, got $composed")
-    // recall: the true pairs are within-group, so the composed key keeps
-    // every pair the length-only key finds
+    assert(composed <= banded)
     val full = DedupQueries.bigramPairsOf(skewedDocs, Nil)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val comp = DedupQueries.bigramPairsOf(skewedDocs, Seq("lang", "source"))
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(full.nonEmpty, "fixture must plant near-dup pairs")
+    assert(full.size == truePairs,
+      s"j=1.0 recall is deterministic (every band agrees): expected $truePairs, got ${full.size}")
     assert(comp == full,
       "composed blocking lost within-group near-dup pairs")
+  }
+
+  // ---- plain-Scala replay of the candidate formula ------------------------
+  // The same derivation the DuckDB oracle encodes (duckBigramPairsSql) and
+  // MinHashSig/bandKey compute, written a third way with MessageDigest +
+  // BigInt — so agreement below pins Spark ≡ formula without trusting
+  // either engine's implementation.
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  private def bigramShingles(text: String): Seq[String] =
+    text.split(" ").toSeq.sliding(2).map(_.mkString(" ")).toSeq
+  private def replayCells(text: String): (Int, Seq[String]) = {
+    val words = text.split(" ")
+    val bucket = words.length / 8
+    val hs = bigramShingles(text).map(sh => java.lang.Long.parseLong(md5hex(sh).take(8), 16))
+    val sig = (0 until DedupQueries.K).map(i =>
+      hs.map(h => (h * (2L * i + 1) + (1000003L * i + 12345L)) % DedupQueries.P).min)
+    val keys = (0 until DedupQueries.BANDS).map(b => md5hex(s"${sig(2 * b)}|${sig(2 * b + 1)}"))
+    (bucket, keys)
+  }
+  private def replayCandidate(ta: String, tb: String): Boolean = {
+    val (ba, ka) = replayCells(ta); val (bb, kb) = replayCells(tb)
+    ba == bb && ka.zip(kb).exists { case (a, b) => a == b }
+  }
+  private def exactJaccard(ta: String, tb: String): Double = {
+    val sa = bigramShingles(ta).toSet; val sb = bigramShingles(tb).toSet
+    val inter = (sa & sb).size
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  test("borderline pairs: Spark candidates and output match the formula replay") {
+    // Near the 0.5 verify threshold banding is genuinely probabilistic
+    // (P(candidate) = 1-(1-j²)^BANDS ≈ 0.82 at j=0.5), so the contract
+    // is NOT "every j≥0.5 pair is found" — it is that the engine and the
+    // oracle make the SAME in-or-out call on every pair. Plant pairs
+    // across j ≈ 0.33..0.71 (16-word docs sharing a p-word prefix:
+    // j = (p-1)/(p+2s-1)) with disjoint per-pair vocabularies, and
+    // assert pairwise equality of (1) Spark's candidate set vs the
+    // replay and (2) the verified output vs replay ∧ exact-Jaccard.
+    val fixtures = for {
+      v <- 0 until 6            // vocabulary seeds: independent banding trials
+                                // (6 seeds deterministically yield both an
+                                // admitted and a dropped j>=0.5 pair — the
+                                // v=4,p=11 j=0.5 pair misses all 6 bands)
+      p <- Seq(8, 10, 11, 12, 13) // shared-prefix words => j in [0.33, 0.67]
+    } yield {
+      val s = 16 - p
+      val shared = (0 until p).map(w => s"v${v}p${p}s$w")
+      val ta = (shared ++ (0 until s).map(w => s"v${v}p${p}a$w")).mkString(" ")
+      val tb = (shared ++ (0 until s).map(w => s"v${v}p${p}b$w")).mkString(" ")
+      (v * 100L + p * 2L, v * 100L + p * 2L + 1, ta, tb)
+    }
+    val docs = fixtures.flatMap { case (ia, ib, ta, tb) =>
+      Seq((ia, ta), (ib, tb)) }.toDF("doc_id", "text")
+    val text = fixtures.flatMap { case (ia, ib, ta, tb) =>
+      Seq(ia -> ta, ib -> tb) }.toMap
+    val allPairs = for {
+      a <- text.keys.toSeq.sorted; b <- text.keys.toSeq.sorted if a < b
+    } yield (a, b)
+    val expectCand = allPairs.filter { case (a, b) =>
+      replayCandidate(text(a), text(b)) }.toSet
+    val gotCand = DedupQueries.blockedCandidates(docs, Nil)
+      .as[(Long, Long)].collect().toSet
+    assert(gotCand == expectCand,
+      s"Spark candidates diverge from the formula replay: " +
+      s"spark-only=${gotCand -- expectCand}, replay-only=${expectCand -- gotCand}")
+    // end-to-end: verified output == candidate ∧ exact bigram Jaccard ≥ 0.5
+    val expectOut = expectCand.filter { case (a, b) =>
+      exactJaccard(text(a), text(b)) >= 0.5 }
+    val gotOut = DedupQueries.bigramPairsOf(docs, Nil)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(gotOut == expectOut)
+    // non-vacuousness: the planted j≥0.5 pairs must exercise BOTH
+    // branches of the banding decision — some admitted, some dropped —
+    // or this test proves nothing about borderline agreement
+    val nearThreshold = fixtures.collect {
+      case (ia, ib, ta, tb) if exactJaccard(ta, tb) >= 0.5 =>
+        replayCandidate(ta, tb)
+    }
+    info(s"j>=0.5 planted pairs admitted by banding: " +
+      s"${nearThreshold.count(identity)}/${nearThreshold.size}")
+    assert(nearThreshold.contains(true) && nearThreshold.contains(false),
+      "fixture must plant j>=0.5 pairs on both sides of the banding decision " +
+      "(tweak the vocabulary seeds if BANDS/K changed)")
   }
 
   test("composed block keys are null-safe: NULL-metadata docs still pair") {
