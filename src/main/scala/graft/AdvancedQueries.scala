@@ -48,66 +48,16 @@ object AdvancedQueries {
   private val WINDOW_US = 60000000L // 60 s in integer microseconds
 
   /** d55 core, shared with d59: resolved duplicate clusters
-    * `(doc_id, cluster_id)` via iterative min-label propagation over the
-    * bigram-Jaccard pair edges. See the d55 QueryDef comment for the
-    * dataflow rationale; the driver loop only ever collects one
-    * change-count scalar per round. */
-  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    // Both edge directions from ONE pass over the pair pipeline (an
-    // explode, not a union of two subtrees that would each recompute
-    // it). edges IS cached — unlike the one-shot caches dropped from
-    // d51/d56, it is re-read every propagation round, and the cached
-    // frame is two narrow longs per edge.
-    val edges = DedupQueries.bigramPairs(s, dir)
-      .select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache()
-    var cur = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-    var prevCache: Option[DataFrame] = None
-    var changed = 1L
-    var iter = 0
-    val maxIter = 50 // O(component diameter) rounds; dup chains are shallow
-    while (changed > 0 && iter < maxIter) {
-      val prop = edges.join(cur, col("src") === col("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster_id"), lit(false).as("self"))
-      // One groupBy yields BOTH the new label (min over self+neighbors)
-      // and the old one (min over the self row) — the convergence
-      // check needs no extra join per round.
-      val next = cur.select(col("doc_id"), col("cluster_id"), lit(true).as("self"))
-        .union(prop)
-        .groupBy("doc_id")
-        .agg(min("cluster_id").as("new_cid"),
-             min(when(col("self"), col("cluster_id"))).as("old_cid"))
-        .cache()
-      changed = next.filter(col("new_cid") =!= col("old_cid")).count()
-      // next is materialized; the previous round's cache is now dead
-      prevCache.foreach(_.unpersist())
-      prevCache = Some(next)
-      cur = next.select(col("doc_id"), col("new_cid").as("cluster_id"))
-      iter += 1
-    }
-    // Converge or fail LOUDLY: a silent cap would ship cluster ids
-    // that aren't the component minimum (the oracle computes exact
-    // components, so truncation is wrong, not approximate). Round
-    // caches are dead on both paths — release them before any throw.
-    // cur reads the final cached `next`, not edges, so edges can go.
-    // The final `next` itself stays cached DELIBERATELY: the returned
-    // result depends on it, and its lineage chains through every
-    // (now-unpersisted) round — dropping it would make any re-execution
-    // replay the whole iteration. It is one narrow row per clustered
-    // doc; the frames worth releasing are released.
-    edges.unpersist()
-    if (changed > 0) {
-      prevCache.foreach(_.unpersist())
-      throw new IllegalStateException(
-        s"d55 label propagation did not converge in $maxIter rounds " +
-        s"($changed labels still changing) — component diameter exceeds the cap")
-    }
-    cur
-  }
+    * `(doc_id, cluster_id)` over the bigram-Jaccard pair edges, via the
+    * alternating large-star/small-star algorithm
+    * ([[graft.operators.ConnectedComponents]]) — O(log² n) rounds
+    * regardless of component diameter. Labels are the component minimum,
+    * the same contract min-label propagation had, so the exact recursive
+    * CC oracle below is untouched by the algorithm swap. */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.run(
+      DedupQueries.bigramPairs(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
 
   /** DuckDB twin of [[dupClusters]] as a CTE prefix ending in a
     * `clusters(doc_id, cluster_id)` CTE — d55 selects it directly, d59
@@ -220,15 +170,13 @@ object AdvancedQueries {
     // The step after pair-finding in every dedup pipeline: near-dup PAIRS
     // (d53's bigram-Jaccard edges) become duplicate GROUPS with a
     // deterministic representative (min doc_id in the component).
-    // Iterative min-label propagation: each round, every node takes the
-    // min label among itself and its neighbors — a join + groupBy per
-    // round, converging in O(component diameter) rounds (near-dup
-    // components are shallow; hard-capped, failing loudly if exceeded).
-    // The driver loop only ever
-    // collects one change-count scalar per round — the data never leaves
-    // the cluster, which is what makes this shape work on 100 TB
-    // (same dataflow as large-scale CC algorithms a la large-star/
-    // small-star, simplified for shallow dup clusters).
+    // Resolution is alternating large-star/small-star (ConnectedComponents
+    // .scala): O(log² n) rounds independent of component diameter, each
+    // round a groupBy-min + join over the edge set — so an adversarial
+    // edit-chain corpus costs the same rounds as shallow clusters. The
+    // driver loop only ever collects per-round convergence scalars; the
+    // data never leaves the cluster, which is what makes this shape work
+    // on 100 TB.
     QueryDef("d55_dup_clusters",
       (s, dir) => dupClusters(s, dir).orderBy("doc_id"),
       Some(s"""$duckClusterCtes

@@ -5,6 +5,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,43 +16,52 @@ object Bench {
     // exercise the common plan shapes once, so the first timed query
     // doesn't absorb JVM/JIT/codegen startup.
     Tables.all(spark, sfDir).values.foreach(df => df.limit(1000).agg(count(lit(1))).collect())
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // noop sink, not count(): count() lets Catalyst prune every computed
-      // column (a projection-heavy query would bench as a bare row scan)
-      // and drop unlimited sorts; the noop writer materializes each row
-      // fully with zero sink cost — the honest per-query number.
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // noop sink, not count(): count() lets Catalyst prune every computed
+    // column (a projection-heavy query would bench as a bare row scan)
+    // and drop unlimited sorts; the noop writer materializes each row
+    // fully with zero sink cost — the honest per-query number.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Interleaved whole-suite rounds, per-query min. The previous
+    // back-to-back best-of-2 produced a phantom >1.3x delta on unchanged
+    // code three rounds running (r6 q08-q13, r7 q13 5.9s, r8 q02 1.66x):
+    // JIT deopt / GC / page-cache noise that hits a query's slot tends to
+    // hit BOTH of its adjacent runs, so min-of-2 kept the outlier.
+    // Running the full suite N times and taking each query's min across
+    // rounds decorrelates the noise — a disturbance in round k lands on a
+    // different query's timing in round k+1.
+    val timesPerRound = scala.collection.mutable.Map.empty[String, List[Double]]
+    var failed = Set.empty[String]
+    for (r <- 1 to rounds; (name, fn) <- queries if !failed(name)) {
+      try {
+        val t = once(fn)
+        timesPerRound(name) = t :: timesPerRound.getOrElse(name, Nil)
+      } catch { case e: Throwable =>
+        failed += name
+        timesPerRound -= name
+        System.err.println(s"[bench] $name FAILED (round $r): ${e.getMessage}")
       }
-      // Best-of-2: whichever run JIT/codegen-compilation/page-cache
-      // noise lands on, the other run is the query's real cost — one
-      // cold pass per query made round-over-round totals a lottery over
-      // WHERE warmup landed (r3 charged 27s to q01; r4 spread the same
-      // noise over q14/q17/q18/q23).
-      val ok =
-        try { val t = math.min(once(), once()); Some(t) }
-        catch { case e: Throwable =>
-          failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          None
-        }
-      (name, ok.getOrElse(-1.0), ok.isDefined)
+    }
+    val best = queries.collect {
+      case (name, _) if timesPerRound.contains(name) =>
+        name -> timesPerRound(name).min
     }
     // failed queries are NOT in the per-query map (a -1.0 sentinel reads
     // as a duration to anything aggregating or plotting it); they're
     // enumerated in `failed` and poison the headline total below
-    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
+    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // headline total = -1 (hard failure) when ANY query failed: summing
     // only successes would let a slow query "improve" the headline by
     // breaking outright. Consumers see the failed list either way.
     val total =
       if (failed.nonEmpty) -1.0
-      else results.collect { case (_, t, true) => t }.sum
+      else best.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

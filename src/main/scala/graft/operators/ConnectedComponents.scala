@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star /
+  * small-star rounds (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC'14) — the scale path for duplicate-cluster
+  * resolution.
+  *
+  * Min-label propagation (the previous d55 core) converges in
+  * O(component diameter) rounds; fine for shallow dup clusters, but a
+  * pathological chain (docs A≈B≈C≈… from incremental edits) makes the
+  * round count unbounded in corpus shape. The alternating algorithm
+  * converges in O(log² n) rounds REGARDLESS of diameter — each round
+  * halves star heights roughly geometrically — and each round is the
+  * same dataflow a 1000-executor cluster wants: a groupBy-min over edge
+  * endpoints plus one equality join, nothing ever collected to the
+  * driver except a per-round convergence scalar.
+  *
+  *   - large-star: every node u points its LARGER neighbors at
+  *     m = min(Γ(u) ∪ {u})  — emits (v, m) for v ∈ Γ(u), v > u.
+  *   - small-star: orient edges large→small; every node u points its
+  *     smaller neighbors (and itself) at m = min of that set.
+  *
+  * The fixed point is a star forest: every edge is (node, component-min).
+  * Output labels are therefore identical to min-label propagation's —
+  * `(doc_id, cluster_id = component min)` for every node incident to an
+  * edge — so callers' oracles (exact recursive CC in DuckDB) are
+  * unaffected by the algorithm swap.
+  */
+object ConnectedComponents {
+
+  private def largeStar(edges: DataFrame): DataFrame = {
+    // both directions: each undirected edge must be seen from both
+    // endpoints, or leaf edges (u > its only neighbor) would vanish
+    val nbrs = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+    val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    nbrs.join(mins, "u")
+      .filter(col("v") > col("u")) // v > u ≥ m, so no self-loops possible
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  private def smallStar(edges: DataFrame): DataFrame = {
+    // orient large→small, then group by the large endpoint
+    val nbrs = edges.select(
+      greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+    val mins = nbrs.groupBy("u").agg(min("v").as("m"))
+    nbrs.join(mins, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+      .union(mins.select(col("u").as("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst")) // drops the (m, m) self-edge
+      .distinct()
+  }
+
+  /** Resolve components of an undirected edge list `(src, dst)`.
+    * Returns (`(doc_id, cluster_id)` labels for every node incident to an
+    * edge, rounds taken). Fails loudly past `maxIter` — a silent cap
+    * would ship labels that aren't the component minimum.
+    *
+    * Each round ends in `localCheckpoint` (eager), NOT `cache`: a round
+    * references the previous round's frame several times (both union
+    * branches, the mins join), so lineage grows geometrically — by round
+    * ~7 the analyzed plan overflows the stack. Checkpointing truncates
+    * the plan to the materialized RDD, keeping every round's analysis
+    * O(1). Superseded round RDDs are unpersisted by the ContextCleaner
+    * once unreferenced; on a real cluster with executor churn, swap in
+    * `checkpoint()` against a reliable dir — same dataflow. */
+  def runWithRounds(edges0: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    var cur = edges0.filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    var nCur = cur.count()
+    var rounds = 0
+    var converged = nCur == 0
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nNext = next.count()
+      // exact set equality (both sides are distinct sets): same size and
+      // their union adds nothing. One extra job per round; the alternating
+      // algorithm's round count is small enough that exactness is cheap.
+      converged = nNext == nCur && cur.union(next).distinct().count() == nCur
+      cur = next
+      nCur = nNext
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter alternating rounds")
+    // Safety net for the star-forest invariant the labels depend on: at
+    // the fixed point no node may appear on both sides of an edge.
+    val chained = cur.as("a").join(cur.as("b"), col("a.dst") === col("b.src"))
+      .limit(1).count()
+    if (chained > 0)
+      throw new IllegalStateException(
+        "connected components fixed point is not a star forest — algorithm invariant broken")
+    // Stars are (member, component-min); the min labels itself. The final
+    // checkpointed frame stays referenced by the returned labels, so its
+    // RDD is not cleaner-eligible until the caller drops the result.
+    val labels = cur.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .union(cur.select(col("dst").as("doc_id"), col("dst").as("cluster_id")).distinct())
+    (labels, rounds)
+  }
+
+  /** Labels only; see [[runWithRounds]]. */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    runWithRounds(edges, maxIter)._1
+}

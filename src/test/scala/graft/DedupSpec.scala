@@ -215,6 +215,27 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"banding recall $recall below the s-curve expectation")
   }
 
+  test("d55 components: deep chain resolves in O(log n) rounds, not O(diameter)") {
+    // The corpus shape min-label propagation can't survive: an edit-chain
+    // component (doc i near-dups doc i+1 only). Propagation needs
+    // diameter=63 rounds; alternating large-star/small-star must collapse
+    // it logarithmically — and still label every node with the component
+    // min, the contract the d55/d59 oracles check.
+    val n = 64
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = graft.operators.ConnectedComponents.runWithRounds(chain)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L until n).toSet, "every chained node must be labeled")
+    assert(got.values.forall(_ == 0L), s"labels must be the component min: $got")
+    assert(rounds <= 10, s"deep chain must resolve in O(log n) rounds, took $rounds")
+    // two disjoint components + reversed/duplicated edges don't cross-label
+    val messy = Seq((5L, 3L), (3L, 5L), (3L, 9L), (20L, 21L), (21L, 20L))
+      .toDF("src", "dst")
+    val m = graft.operators.ConnectedComponents.run(messy)
+      .as[(Long, Long)].collect().toMap
+    assert(m == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("verify path never force-broadcasts a corpus-derived frame") {
     // The candidate-restriction semi join must be present, and no
     // broadcast HINT may survive into the Join nodes of the optimized
