@@ -60,26 +60,56 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, width: Long, height: Long,
                        format: String, n_frames: Long)
 
-  /** The `mapPartitions` decode path: per-partition "codec init" then a
+  /** Per-payload decode result (codec output, before the doc id is
+    * re-attached). */
+  case class DecodedMeta(width: Long, height: Long, format: String,
+                         n_frames: Long)
+
+  /** The codec seam: a real decoder (JNI/FFI image/audio/video library)
+    * plugs in here without touching the Spark plumbing. Contract:
+    *   - the INSTANCE is constructed on the driver and shipped to
+    *     executors in the task closure, so it must be Serializable and
+    *     must NOT hold native handles as fields;
+    *   - `open()` is called once per partition ON THE EXECUTOR — acquire
+    *     native contexts/scratch buffers there and capture them in the
+    *     returned function's closure;
+    *   - the returned function is called once per payload; `None` is the
+    *     undecodable channel (null / truncated bytes — production routes
+    *     these to a quarantine sink rather than failing the task). */
+  trait MediaCodec extends Serializable {
+    def open(): Array[Byte] => Option[DecodedMeta]
+  }
+
+  /** CI-default codec: the deterministic header-parse stub (this
+    * container has no media libraries). Parses the actual binary payload
+    * bytes — same formula the column path computes via md5 hex. */
+  object StubCodec extends MediaCodec {
+    def open(): Array[Byte] => Option[DecodedMeta] = {
+      val formats = Array("png", "jpg", "webp") // per-partition "codec table"
+      bytes =>
+        if (bytes != null && bytes.length >= 4) {
+          val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+          val b2 = bytes(2) & 0xff; val b3 = bytes(3) & 0xff
+          Some(DecodedMeta(b0 % 64 + 1, b1 % 64 + 1, formats(b2 % 3), b3 % 16 + 1))
+        } else None
+    }
+  }
+
+  /** The `mapPartitions` decode path: per-partition codec `open()` then a
     * streaming batch loop — the real-world shape for native decoders.
-    * Parses the actual binary payload bytes (not the hex trick). */
-  def datasetDecode(spark: SparkSession, withMedia: DataFrame): Dataset[MediaMeta] = {
+    * The column path ([[columnWidth]] etc.) instead yields null metadata
+    * for undecodable payloads; the equivalence contract (MultimodalSpec)
+    * covers decodable payloads. */
+  def datasetDecode(spark: SparkSession, withMedia: DataFrame,
+                    codec: MediaCodec = StubCodec): Dataset[MediaMeta] = {
     import spark.implicits._
-    val formats = Array("png", "jpg", "webp") // per-partition constant ("codec table")
     withMedia.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real decoder would initialize native context here, once per partition.
-        // Undecodable payloads (null / truncated header) are SKIPPED, the
-        // standard decoder error channel (production would route them to a
-        // quarantine sink) — the Column path instead yields null metadata
-        // for them; the equivalence contract covers decodable payloads.
-        it.flatMap {
-          case (id, bytes) if bytes != null && bytes.length >= 4 =>
-            val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
-            val b2 = bytes(2) & 0xff; val b3 = bytes(3) & 0xff
-            Some(MediaMeta(id, b0 % 64 + 1, b1 % 64 + 1, formats(b2 % 3), b3 % 16 + 1))
-          case _ => None
+        val decode = codec.open() // once per partition, executor-side
+        it.flatMap { case (id, bytes) =>
+          decode(bytes).map(m =>
+            MediaMeta(id, m.width, m.height, m.format, m.n_frames))
         }
       }
   }
