@@ -38,10 +38,12 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
     val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // No distinct here: duplicate (v, m) rows are harmless to smallStar's
+    // min aggregation (volume stays ≤ 2|E|), and smallStar canonicalizes
+    // its own output — one fewer exchange per round.
     nbrs.join(mins, "u")
       .filter(col("v") > col("u")) // v > u ≥ m, so no self-loops possible
       .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   private def smallStar(edges: DataFrame): DataFrame = {
@@ -54,7 +56,18 @@ object ConnectedComponents {
       .select(col("v").as("src"), col("m").as("dst"))
       .union(mins.select(col("u").as("src"), col("m").as("dst")))
       .filter(col("src") =!= col("dst")) // drops the (m, m) self-edge
-      .distinct()
+      .distinct() // canonical set: next round's checksum compares rely on it
+  }
+
+  /** (row count, sum of per-row murmur3 hashes) — a one-job fingerprint of
+    * a canonical edge set, used as the CHEAP convergence signal. Equality
+    * of consecutive fingerprints is confirmed by one exact set-equality
+    * job before the loop exits, so correctness never rests on the hash. */
+  private def fingerprint(edges: DataFrame): (Long, Long) = {
+    import edges.sparkSession.implicits._
+    edges.agg(count(lit(1)),
+              coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)))
+      .as[(Long, Long)].head()
   }
 
   /** Resolve components of an undirected edge list `(src, dst)`.
@@ -62,30 +75,34 @@ object ConnectedComponents {
     * edge, rounds taken). Fails loudly past `maxIter` — a silent cap
     * would ship labels that aren't the component minimum.
     *
-    * Each round ends in `localCheckpoint` (eager), NOT `cache`: a round
+    * Each round ends in `localCheckpoint`, NOT `cache`: a round
     * references the previous round's frame several times (both union
     * branches, the mins join), so lineage grows geometrically — by round
     * ~7 the analyzed plan overflows the stack. Checkpointing truncates
     * the plan to the materialized RDD, keeping every round's analysis
-    * O(1). Superseded round RDDs are unpersisted by the ContextCleaner
-    * once unreferenced; on a real cluster with executor churn, swap in
+    * O(1). The checkpoint is LAZY and the fingerprint aggregate is the
+    * action that materializes it — one job per round, not three.
+    * Superseded round RDDs are unpersisted by the ContextCleaner once
+    * unreferenced; on a real cluster with executor churn, swap in
     * `checkpoint()` against a reliable dir — same dataflow. */
   def runWithRounds(edges0: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     var cur = edges0.filter(col("src") =!= col("dst"))
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct().localCheckpoint(true)
-    var nCur = cur.count()
+      .distinct().localCheckpoint(false)
+    var curFp = fingerprint(cur)
     var rounds = 0
-    var converged = nCur == 0
+    var converged = curFp._1 == 0
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      val nNext = next.count()
-      // exact set equality (both sides are distinct sets): same size and
-      // their union adds nothing. One extra job per round; the alternating
-      // algorithm's round count is small enough that exactness is cheap.
-      converged = nNext == nCur && cur.union(next).distinct().count() == nCur
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      val nextFp = fingerprint(next) // materializes the checkpoint
+      if (nextFp == curFp) {
+        // fingerprints stable → confirm exactly, once: both sides are
+        // distinct sets, so equality = same size and their union adds
+        // nothing. If a hash collision lied, this fails and we iterate on.
+        converged = cur.union(next).distinct().count() == curFp._1
+      }
       cur = next
-      nCur = nNext
+      curFp = nextFp
       rounds += 1
     }
     if (!converged)
