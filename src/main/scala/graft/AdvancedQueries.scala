@@ -18,7 +18,7 @@ import graft.operators.TopKAgg
   *   - q37 banded range join     (interval self-join via time-band equality
   *                                keys — the 100 TB shape for theta joins)
   *   - d55 duplicate clusters    (connected components over near-dup pairs
-  *                                by iterative min-label propagation)
+  *                                by alternating large-star/small-star)
   *   - t45 top distinctive term  (tf/df ranking, integer-exact)
   */
 object AdvancedQueries {
