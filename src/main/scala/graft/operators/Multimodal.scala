@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * actual pixels/samples never leave the executors; metadata drives
   * filtering and batching decisions).
   *
-  * This container has no imaging/audio libraries, so the DECODE KERNEL IS
-  * A DETERMINISTIC STUB (clearly marked below): it "decodes" a media
-  * payload by parsing its leading bytes. Everything around it — the binary
-  * column, the metadata schema, the typed Dataset pass, partition-local
-  * batching, the resize/frame-sample arithmetic — is real Spark plumbing
-  * and is what you'd keep when swapping in a real codec.
+  * Two codecs plug into the [[MediaCodec]] seam: [[StubCodec]], a
+  * deterministic header-parse fake over the synthetic md5 payloads (what
+  * the DuckDB oracle replays), and [[ImageIoCodec]], a real JDK
+  * `javax.imageio` decoder for genuine PNG/JPEG/GIF/BMP bytes. Everything
+  * around the seam — the binary column, the metadata schema, the typed
+  * Dataset pass, partition-local codec init, the resize/frame-sample
+  * arithmetic — is shared Spark plumbing; audio/video codecs (not in the
+  * JDK) would plug into the same seam.
   *
   * Two equivalent decode paths are provided:
   *   1. columnDecode*: pure Column expressions (codegen'd, oracle-able)
@@ -80,9 +82,10 @@ object Multimodal {
     def open(): Array[Byte] => Option[DecodedMeta]
   }
 
-  /** CI-default codec: the deterministic header-parse stub (this
-    * container has no media libraries). Parses the actual binary payload
-    * bytes — same formula the column path computes via md5 hex. */
+  /** Oracle-default codec: deterministic header-parse stub over the
+    * synthetic md5 payloads (which are not real images). Parses the actual
+    * binary payload bytes — same formula the column path computes via md5
+    * hex — so the DuckDB oracle can replay it. */
   object StubCodec extends MediaCodec {
     def open(): Array[Byte] => Option[DecodedMeta] = {
       val formats = Array("png", "jpg", "webp") // per-partition "codec table"
@@ -92,6 +95,55 @@ object Multimodal {
           val b2 = bytes(2) & 0xff; val b3 = bytes(3) & 0xff
           Some(DecodedMeta(b0 % 64 + 1, b1 % 64 + 1, formats(b2 % 3), b3 % 16 + 1))
         } else None
+    }
+  }
+
+  /** Real image codec over the same seam: `javax.imageio` ships with every
+    * JDK, so this needs no container libraries. Decodes genuine PNG/JPEG/
+    * GIF/BMP payloads to true width/height/format and (for multi-image
+    * containers like animated GIF) the real frame count. Undecodable bytes
+    * — truncated headers, non-image payloads such as the synthetic md5
+    * blobs the oracle queries use — take the `None` quarantine channel,
+    * exactly like the stub.
+    *
+    * Header-only metadata read: `ImageReader.getWidth/getHeight` parse the
+    * header without decoding pixel data, so per-payload cost is O(header),
+    * not O(pixels) — the right trade for a 100 TB metadata pass. */
+  object ImageIoCodec extends MediaCodec {
+    def open(): Array[Byte] => Option[DecodedMeta] = {
+      // Per-partition init: disable ImageIO's temp-file cache so decode is
+      // pure in-memory (no executor-local disk churn under 32 tasks).
+      javax.imageio.ImageIO.setUseCache(false)
+      bytes =>
+        if (bytes == null || bytes.length == 0) None
+        else {
+          val in = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(in)
+            if (!readers.hasNext) None
+            else {
+              val r = readers.next()
+              try {
+                // seekForwardOnly=false so getNumImages(true) may scan.
+                r.setInput(in, false, true)
+                val w = r.getWidth(0).toLong
+                val h = r.getHeight(0).toLong
+                val fmt = r.getFormatName.toLowerCase match {
+                  case "jpeg" => "jpg"
+                  case f      => f
+                }
+                val frames =
+                  try math.max(1, r.getNumImages(true)).toLong
+                  catch { case _: java.io.IOException => 1L }
+                Some(DecodedMeta(w, h, fmt, frames))
+              } finally r.dispose()
+            }
+          } catch {
+            // Corrupt-after-header payloads: quarantine, never fail the task.
+            case scala.util.control.NonFatal(_) => None
+          } finally if (in != null) in.close()
+        }
     }
   }
 
