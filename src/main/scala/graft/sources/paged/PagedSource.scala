@@ -28,13 +28,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `fields=` projection (Spotify_API4.py:252,338) — the reader never
   *     materializes unrequested columns.
   *
-  * The transport is a pluggable [[PageClient]]; the bundled
-  * [[LineFileClient]] serves pages from a local `|`-delimited file (this
-  * environment has no egress), with the reference's retry-on-failure and
-  * re-auth-on-401 semantics implemented in [[RetryingClient]].
+  * The transport is a pluggable [[PageClient]], selected by [[Endpoint]]:
+  * `option("path", file)` serves pages from a local `|`-delimited file
+  * ([[LineFileClient]]); `option("url", base)` hits a real REST endpoint
+  * through [[RestPageClient]] + throttled [[JdkHttpTransport]]
+  * (exercised over a loopback socket by LoopbackEndpointSpec). Both run
+  * under the reference's retry-on-failure and re-auth-on-401 semantics
+  * ([[RetryingClient]]).
   *
   * Usage: `spark.read.format("graft.sources.paged.PagedSource")
-  *   .option("path", file).option("pageSize", 50).load()`.
+  *   .option("path", file).option("pageSize", 50).load()` — or
+  *   `.option("url", "https://host/v1/things")`.
   */
 class PagedSource extends TableProvider {
 
@@ -43,8 +47,41 @@ class PagedSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new PagedTable(properties.get("path"),
+    new PagedTable(
+      Endpoint(Option(properties.get("path")), Option(properties.get("url"))),
       Option(properties.get("pageSize")).map(_.toInt).getOrElse(50))
+}
+
+/** Where the scan's pages come from: a local `|`-delimited file (`path`,
+  * the no-egress stand-in) or a real REST endpoint (`url`, served by
+  * [[RestPageClient]] over [[JdkHttpTransport]]). Serializable — shipped
+  * to executors inside [[PagedReaderFactory]]; the client itself is
+  * built on arrival (HTTP clients and file handles don't serialize). */
+final case class Endpoint(path: Option[String], url: Option[String]) {
+  require(path.isDefined ^ url.isDefined,
+    "exactly one of 'path' or 'url' must be set")
+
+  def describe: String = url.orElse(path).get
+
+  /** Build the client stack on the current JVM: transport (shared
+    * per-executor, throttled) → REST/file client → retry/re-auth. */
+  def client(): PageClient = new RetryingClient(
+    url match {
+      case Some(u) => new RestPageClient(Endpoint.transport, u)
+      case None    => new LineFileClient(path.get)
+    },
+    auth = ExecutorAuth.provider)
+}
+
+object Endpoint {
+  /** One throttled HTTP transport per executor JVM (the S3 semantic —
+    * TokenBucketTransport's rate is per-executor): page readers on an
+    * executor share this bucket instead of each minting an unthrottled
+    * client. Reference pacing: ≤2 req/s sustained
+    * (01_TestingPy/Spotify_API3.py:62-63), burst 4 so a cold scan's
+    * first pages aren't serialized behind an empty bucket. */
+  lazy val transport: HttpTransport =
+    new TokenBucketTransport(new JdkHttpTransport(), ratePerSec = 2.0, burst = 4)
 }
 
 object PagedSource {
@@ -57,16 +94,16 @@ object PagedSource {
     StructField("market", StringType)))
 }
 
-final class PagedTable(path: String, pageSize: Int) extends Table with SupportsRead {
-  override def name(): String = s"paged($path)"
+final class PagedTable(endpoint: Endpoint, pageSize: Int) extends Table with SupportsRead {
+  override def name(): String = s"paged(${endpoint.describe})"
   override def schema(): StructType = PagedSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(path, pageSize)
+    new PagedScanBuilder(endpoint, pageSize)
 }
 
-final class PagedScanBuilder(path: String, pageSize: Int)
+final class PagedScanBuilder(endpoint: Endpoint, pageSize: Int)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -109,7 +146,7 @@ final class PagedScanBuilder(path: String, pageSize: Int)
     override def readSchema(): StructType = requiredSchema
     override def toBatch: Batch = this
     override def description(): String =
-      s"PagedScan(path=$path, pageSize=$pageSize, " +
+      s"PagedScan(endpoint=${endpoint.describe}, pageSize=$pageSize, " +
       s"PushedFilters=${pushed.mkString("[", ", ", "]")}, " +
       s"PushedLimit=${pushedLimit.getOrElse("none")})"
 
@@ -124,8 +161,7 @@ final class PagedScanBuilder(path: String, pageSize: Int)
       // would schedule mostly-empty page tasks. A pushed limit then caps
       // the page count.
       val marketFilter = pushed.collectFirst { case EqualTo("market", v: String) => v }
-      val total = new RetryingClient(new LineFileClient(path),
-        auth = ExecutorAuth.provider).total(marketFilter)
+      val total = endpoint.client().total(marketFilter)
       val allPages = math.max(1L, (total + pageSize - 1) / pageSize)
       val pages = pushedLimit
         .map(l => math.min(allPages, math.max(1L, (l.toLong + pageSize - 1) / pageSize)))
@@ -136,7 +172,7 @@ final class PagedScanBuilder(path: String, pageSize: Int)
 
     override def createReaderFactory(): PartitionReaderFactory = {
       val marketFilter = pushed.collectFirst { case EqualTo("market", v: String) => v }
-      PagedReaderFactory(path, requiredSchema.fieldNames, marketFilter)
+      PagedReaderFactory(endpoint, requiredSchema.fieldNames, marketFilter)
     }
   }
 }
@@ -144,16 +180,14 @@ final class PagedScanBuilder(path: String, pageSize: Int)
 /** A page of the remote scan: rows [offset, offset+limit). */
 final case class PagePartition(offset: Long, limit: Int) extends InputPartition
 
-final case class PagedReaderFactory(path: String, fields: Array[String],
+final case class PagedReaderFactory(endpoint: Endpoint, fields: Array[String],
                                     market: Option[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[PagePartition]
-    // auth = the executor-level provider: one cached token per JVM, not
-    // one minted per page reader
-    new PagedReader(
-      new RetryingClient(new LineFileClient(path), auth = ExecutorAuth.provider),
-      page, fields, market)
+    // endpoint.client() on the executor: shared per-JVM auth + throttled
+    // transport, one cached token per JVM rather than one per page reader
+    new PagedReader(endpoint.client(), page, fields, market)
   }
 }
 
