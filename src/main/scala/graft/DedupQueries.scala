@@ -92,14 +92,23 @@ object DedupQueries {
     * separately so specs can measure candidate cardinality and cell
     * occupancy without running the verify stage. */
   private[graft] def blockedCandidates(docs: DataFrame,
-                                       extraBlockCols: Seq[String]): DataFrame =
-    blockedCandidatesWithIds(docs, extraBlockCols)._1
+                                       extraBlockCols: Seq[String],
+                                       rowsPerBand: Int = 2): DataFrame =
+    blockedCandidatesWithIds(docs, extraBlockCols, rowsPerBand)._1
 
   /** Per-doc blocking cells: one row per (doc, band) carrying the full
     * composed key (bucket, band_id, bkey, extras). Exposed so DedupSpec
     * can assert the occupancy bound directly on the cell frame. */
   private[graft] def blockingCells(docs: DataFrame,
-                                   extraBlockCols: Seq[String]): DataFrame = {
+                                   extraBlockCols: Seq[String],
+                                   rowsPerBand: Int = 2): DataFrame = {
+    // The documented recall knob (SCALE.md): r rows per band over the
+    // same K-signature gives K/r bands and s-curve
+    // P(candidate) = 1-(1-j^r)^(K/r). The default 2x6 sits the curve's
+    // knee near the 0.5 verify threshold; rowsPerBand=1 (12 bands)
+    // shifts it left — ~0.9997 at j=0.5 instead of ~0.82 — trading more
+    // candidate volume for borderline recall. DedupSpec pins the shift.
+    require(K % rowsPerBand == 0, s"rowsPerBand must divide K=$K, got $rowsPerBand")
     // NULL-safe composed keys: metadata columns (lang, source) are
     // nullable at real corpus scale, and plain equality drops every
     // NULL-metadata doc from candidate generation (NULL = NULL is false
@@ -125,9 +134,10 @@ object DedupQueries {
         MinHashSig(transform(shingles(col("w"), 2),
           x => shiftright(Md5Prefix60(x), 28)), K, P).as("sig") +:
         extraBlockCols.map(col): _*)
-    val bandCols = (0 until BANDS).map { b =>
+    val bandCols = (0 until K / rowsPerBand).map { b =>
       struct(lit(b).as("band_id"),
-             bandKey(Seq(col("sig")(2 * b), col("sig")(2 * b + 1))).as("bkey"))
+             bandKey((0 until rowsPerBand).map(r =>
+               col("sig")(rowsPerBand * b + r))).as("bkey"))
     }
     sig.select(
       col("doc_id") +: col("bucket") +: explode(array(bandCols: _*)).as("bd") +:
@@ -159,9 +169,10 @@ object DedupQueries {
     * P(candidate) = 1-(1-j²)^BANDS — the trade for structural
     * boundedness, measured on the planted sf testdata in DedupSpec. */
   private[graft] def blockedCandidatesWithIds(
-      docs: DataFrame, extraBlockCols: Seq[String]): (DataFrame, DataFrame) = {
+      docs: DataFrame, extraBlockCols: Seq[String],
+      rowsPerBand: Int = 2): (DataFrame, DataFrame) = {
     val keyCols = Seq("bucket", "band_id", "bkey") ++ extraBlockCols
-    val cells = blockingCells(docs, extraBlockCols)
+    val cells = blockingCells(docs, extraBlockCols, rowsPerBand)
     val sameCell = keyCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)
     val cand = cells.as("x").join(cells.as("y"),
         sameCell && col("x.doc_id") < col("y.doc_id"))

@@ -154,6 +154,47 @@ class DedupSpec extends SparkSpec {
       "(tweak the vocabulary seeds if BANDS/K changed)")
   }
 
+  test("banding knob: 12x1 banding recovers the borderline pair 6x2 misses") {
+    // The documented s-curve shift (SCALE.md / blockingCells): at j=0.5
+    // the default 2-row bands admit a pair with P = 1-(1-j²)^6 ≈ 0.82,
+    // 1-row bands with P = 1-(1-j)^12 ≈ 0.9998. The v=4,p=11 fixture
+    // from the borderline test is the deterministic ~0.18 case — a true
+    // j=0.5 pair that misses ALL six 2-row bands — so it separates the
+    // two knob settings on fixed data.
+    val v = 4; val p = 11; val s = 16 - p
+    val shared = (0 until p).map(w => s"v${v}p${p}s$w")
+    val ta = (shared ++ (0 until s).map(w => s"v${v}p${p}a$w")).mkString(" ")
+    val tb = (shared ++ (0 until s).map(w => s"v${v}p${p}b$w")).mkString(" ")
+    assert(exactJaccard(ta, tb) === 0.5, "fixture must sit exactly on the threshold")
+    assert(!replayCandidate(ta, tb),
+      "fixture drifted: 6x2 banding now admits this pair (pick another seed)")
+    val docs = Seq((1L, ta), (2L, tb)).toDF("doc_id", "text")
+    assert(DedupQueries.blockedCandidates(docs, Nil).count() === 0L,
+      "default 6x2 banding should miss this borderline pair")
+    // independent replay of the 1-row banding: key = md5("s_b") per band
+    val replay1x12 = {
+      def sig(text: String) = {
+        val hs = bigramShingles(text).map(sh =>
+          java.lang.Long.parseLong(md5hex(sh).take(8), 16))
+        (0 until DedupQueries.K).map(i =>
+          hs.map(h => (h * (2L * i + 1) + (1000003L * i + 12345L)) % DedupQueries.P).min)
+      }
+      sig(ta).zip(sig(tb)).exists { case (a, b) => md5hex(s"$a") == md5hex(s"$b") }
+    }
+    assert(replay1x12, "formula replay: some single minhash row must agree at j=0.5")
+    val got = DedupQueries.blockedCandidates(docs, Nil, rowsPerBand = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L)),
+      "12x1 banding must admit the borderline pair the default misses")
+    // and the knob only ADDS candidates — on the skewed fixture it must
+    // still find every identical-text pair the default finds
+    val wide = DedupQueries.blockedCandidates(skewedDocs, Nil, rowsPerBand = 1)
+      .as[(Long, Long)].collect().toSet
+    val dflt = DedupQueries.blockedCandidates(skewedDocs, Nil)
+      .as[(Long, Long)].collect().toSet
+    assert(dflt.subsetOf(wide), "left-shifted s-curve must not lose candidates")
+  }
+
   test("composed block keys are null-safe: NULL-metadata docs still pair") {
     // Real corpora have nullable metadata; with plain equality NULL = NULL
     // is false, so every NULL-lang doc silently vanishes from candidate
