@@ -109,12 +109,19 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter alternating rounds")
     // Safety net for the star-forest invariant the labels depend on: at
-    // the fixed point no node may appear on both sides of an edge.
+    // the fixed point no node may appear on both sides of an edge, AND
+    // no node may point at two roots (a multi-parent fixed point would
+    // pass the chain check yet emit conflicting cluster_ids for one doc).
     val chained = cur.as("a").join(cur.as("b"), col("a.dst") === col("b.src"))
       .limit(1).count()
     if (chained > 0)
       throw new IllegalStateException(
         "connected components fixed point is not a star forest — algorithm invariant broken")
+    val multiParent = cur.groupBy("src").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count()
+    if (multiParent > 0)
+      throw new IllegalStateException(
+        "connected components fixed point has a multi-parent node — labels would conflict")
     // Stars are (member, component-min); the min labels itself. The final
     // checkpointed frame stays referenced by the returned labels, so its
     // RDD is not cleaner-eligible until the caller drops the result.
