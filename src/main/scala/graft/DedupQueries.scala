@@ -459,6 +459,12 @@ object DedupQueries {
     // hash aggregate, the block is an equality join: no all-pairs, same
     // 100 TB shape as d51/d53. Verification is the exact SortedOverlap
     // merge scan; the better direction's containment is reported.
+    // Cost profile (warm, sf0.1, noop sink): shingle arrays 0.34s; + the
+    // posting-level df aggregate 2.7s; full query 3.9s. The df aggregate
+    // over exploded postings IS the dominant cost and is inherent to
+    // rarity blocking — d51/d53 are faster only because map-side MinHash
+    // signatures never materialize postings. Partial (map-side) agg is
+    // already active; don't re-litigate caching (see d51 note above).
     QueryDef("d57_containment",
       (s, dir) => {
         val MAXDF = 25
