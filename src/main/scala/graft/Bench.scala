@@ -79,10 +79,15 @@ object Bench {
     }
     // The single unordered diagnostic pass (mode=both). One sample —
     // noisier than the min-of-N headline; compare cohorts, not queries.
+    // Diagnostic-pass failures don't poison the headline (the ordered
+    // rounds already proved the query runs) but MUST be machine-readable:
+    // a silently missing key would skew the documented cohort comparison.
+    var unorderedFailed = Set.empty[String]
     if (mode == "both") {
       for ((name, fn) <- queries if !failed(name)) {
         try samplesUnordered(name) = once(fn, ordered = false) :: Nil
         catch { case e: Throwable =>
+          unorderedFailed += name
           System.err.println(s"[bench] $name unordered FAILED: ${e.getMessage}")
         }
       }
@@ -101,11 +106,16 @@ object Bench {
     // as a duration to anything aggregating or plotting it); they're
     // enumerated in `failed` and poison the headline total below
     val qs = mapJson(best.toMap.map { case (k, v) => k -> v.toString })
+    // "unordered" always means "unordered timings": the diagnostic pass
+    // in mode=both, the headline mins themselves in mode=unordered (a
+    // reader of the documented format must not get {} just because the
+    // whole run was unordered), and {} only when no unordered run exists.
     val unorderedJson =
-      if (mode == "both")
-        mapJson(samplesUnordered.map { case (k, v) => k -> v.min.toString }.toMap)
-      else "{}"
+      if (mode == "ordered") "{}"
+      else mapJson(samplesUnordered.map { case (k, v) => k -> v.min.toString }.toMap)
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val unorderedFailedJson =
+      unorderedFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // headline total = -1 (hard failure) when ANY query failed: summing
     // only successes would let a slow query "improve" the headline by
     // breaking outright. Consumers see the failed list either way.
@@ -117,7 +127,7 @@ object Bench {
     // come first and the headline (queries, failed, value) comes last —
     // truncation eats diagnostics before it eats the verdict-bearing
     // fields. The untruncated line also lands in BENCH_FULL.json.
-    val line = s"""{"metric":"total","unit":"sec","mode":"$mode","sf":"$sfDir","samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"queries":$qs,"failed":$failedJson,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","mode":"$mode","sf":"$sfDir","samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_failed":$unorderedFailedJson,"queries":$qs,"failed":$failedJson,"value":$total}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(line) finally w.close()

@@ -108,7 +108,11 @@ object DedupQueries {
     // knee near the 0.5 verify threshold; rowsPerBand=1 (12 bands)
     // shifts it left — ~0.9997 at j=0.5 instead of ~0.82 — trading more
     // candidate volume for borderline recall. DedupSpec pins the shift.
-    require(K % rowsPerBand == 0, s"rowsPerBand must divide K=$K, got $rowsPerBand")
+    // >= 1 first: rowsPerBand = 0 would die inside K % 0 itself, and a
+    // negative value passes the divisibility test but yields an EMPTY
+    // band list ((0 until K/r) with r < 0) — zero candidates, silently.
+    require(rowsPerBand >= 1 && K % rowsPerBand == 0,
+      s"rowsPerBand must be a positive divisor of K=$K, got $rowsPerBand")
     // NULL-safe composed keys: metadata columns (lang, source) are
     // nullable at real corpus scale, and plain equality drops every
     // NULL-metadata doc from candidate generation (NULL = NULL is false

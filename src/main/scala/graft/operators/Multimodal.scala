@@ -133,9 +133,15 @@ object Multimodal {
                   case "jpeg" => "jpg"
                   case f      => f
                 }
+                // getNumImages(true) walks the WHOLE stream (the JPEG
+                // reader scans every byte for extra SOI markers) — that
+                // would make this an O(payload) pass, not O(header).
+                // Only multi-image containers pay it; single-image
+                // formats are frames=1 by definition.
                 val frames =
-                  try math.max(1, r.getNumImages(true)).toLong
-                  catch { case _: java.io.IOException => 1L }
+                  if (fmt != "gif") 1L
+                  else try math.max(1, r.getNumImages(true)).toLong
+                       catch { case _: java.io.IOException => 1L }
                 Some(DecodedMeta(w, h, fmt, frames))
               } finally r.dispose()
             }

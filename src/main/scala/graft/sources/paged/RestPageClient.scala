@@ -33,13 +33,20 @@ final case class HttpReply(status: Int, body: String,
 
 /** JDK-11+ `java.net.http` transport — the production default. No
   * third-party dependency; per-executor instances are cheap (the JDK
-  * client pools connections internally). Untested in this repo's suite
-  * (the build environment has no egress); the spec-tested path swaps in
-  * a canned-response transport through the same trait.
+  * client pools connections internally). Exercised over a real loopback
+  * socket by LoopbackEndpointSpec; the client-logic specs swap in a
+  * canned-response transport through the same trait.
+  *
+  * Redirects are followed (NORMAL: http→https allowed, never the
+  * reverse), matching the reference client's behavior
+  * (`requests.get` follows redirects by default) — without this a 301
+  * at a live endpoint would surface as an "unexpected status" failure
+  * in the page client rather than the redirected page.
   */
 class JdkHttpTransport(timeoutMs: Long = 30000L) extends HttpTransport {
   import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   private val client = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
     .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
 
   override def get(url: String, headers: Map[String, String]): (Int, String) = {

@@ -118,8 +118,8 @@ class AqeSkewSpec extends SparkSpec {
       val bhjs = collectPlan(plan) { case j: BroadcastHashJoinExec => j }
       assert(bhjs.nonEmpty,
         s"runtime broadcast conversion did not fire:\n$plan")
-      assert(collectPlan(plan) { case b: BroadcastExchangeLike => b }.nonEmpty
-        || bhjs.nonEmpty, "converted join must read a broadcast stage")
+      assert(collectPlan(plan) { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"converted join must read a broadcast stage:\n$plan")
 
       // control: with adaptive broadcast also off, the join stays SMJ —
       // the conversion above came from AQE's re-plan, not static planning

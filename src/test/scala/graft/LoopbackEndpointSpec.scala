@@ -40,7 +40,11 @@ final class LoopbackApi(rows: Seq[(String, String, Int, String)])
 
   private final class Handler extends HttpHandler {
     override def handle(x: HttpExchange): Unit = {
-      val q = Option(x.getRequestURI.getQuery).getOrElse("")
+      // RAW query: URI.getQuery percent-decodes, and the split/decode in
+      // envelope() below would then decode a SECOND time (corrupting any
+      // value containing '%' or '+', and mis-splitting an encoded '&').
+      // Raw in, split on the wire-level separators, decode each part once.
+      val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
       requests.add(q)
       authHeaders.add(Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
       failures.poll() match {
@@ -54,7 +58,8 @@ final class LoopbackApi(rows: Seq[(String, String, Int, String)])
     private def envelope(q: String): String = {
       val params = q.split("&").filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2)
-        k -> java.net.URLDecoder.decode(v, "UTF-8")
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
       val filtered = params.get("market").fold(rows)(m => rows.filter(_._4 == m))
       val selected = params.get("ids") match {

@@ -140,12 +140,14 @@ class MultimodalSpec extends SparkSpec {
 
   test("stub and real codec run through the identical plumbing (same plan shape)") {
     // The seam contract: swapping codecs must not change the Spark plan.
-    val withMedia = Multimodal.withPayload(docs)
-    val stubPlan = Multimodal.datasetDecode(spark, withMedia, Multimodal.StubCodec)
-      .queryExecution.optimizedPlan.getClass
-    val realPlan = Multimodal.datasetDecode(spark, withMedia, Multimodal.ImageIoCodec)
-      .queryExecution.optimizedPlan.getClass
-    assert(stubPlan === realPlan)
+    // Compare the FULL node-class sequence, not just the top node — every
+    // datasetDecode plan tops out at SerializeFromObject, so a top-only
+    // compare would pass even if one codec path grew an extra shuffle.
+    def shape(codec: Multimodal.MediaCodec): Seq[String] =
+      Multimodal.datasetDecode(spark, Multimodal.withPayload(docs), codec)
+        .queryExecution.optimizedPlan
+        .collect { case n => n.getClass.getName }
+    assert(shape(Multimodal.StubCodec) === shape(Multimodal.ImageIoCodec))
   }
 
   test("resize preserves aspect ratio direction and caps the long edge") {
