@@ -152,4 +152,50 @@ class ArrayKernelsSpec extends SparkSpec {
     val withNull = Seq(Tuple1(Seq[String]("x", null, "x"))).toDF("w")
     assert(withNull.select(MaxPairMultiplicity($"w")).collect().head.isNullAt(0))
   }
+
+  test("every kernel agrees between codegen and interpreted evaluation") {
+    // Spark silently falls back to interpreted eval (nullSafeEval) when
+    // codegen fails or is disabled — a doGenCode/eval divergence would
+    // surface only there, as wrong RESULTS, not an error. Pin both modes
+    // equal for all six kernels over one mixed fixture (sizes, empties,
+    // multibyte strings, repeated elements).
+    import graft.expressions.{MaxPairMultiplicity, Md5Prefix60, QCosine}
+    def longs(seed: Int, n: Int): Array[Long] =
+      (0 until n).map(j => ((seed * 2654435761L + j * 40503L) % 4294967296L).abs)
+        .distinct.sorted.toArray
+    val rows = (0 until 64).map { i =>
+      (longs(i, i % 9),                       // sorted-distinct set (overlap)
+       longs(i * 7 + 3, (i * 3) % 9),
+       longs(i + 1, 8).map(_ % 1021),         // quantized vec (qcosine)
+       longs(i + 5, 8).map(_ % 1021),
+       (0 until i % 11).map(j => s"w${j % 4}é").toArray, // words w/ repeats
+       s"doc $i ${"α" * (i % 5)}")             // multibyte text
+    }
+    val df = rows.toDF("a", "b", "qa", "qb", "w", "s")
+    def allKernels = df.select(
+      SortedOverlap($"a", $"b"),
+      MinHashSig($"a", 4, 4294967311L),
+      QCosine($"qa", $"qb"),
+      MaxRun($"w"),
+      MaxPairMultiplicity($"w"),
+      Md5Prefix60($"s"))
+    def withModes[T](wholeStage: String, factory: String)(body: => T): T = {
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      val fm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+        spark.conf.set("spark.sql.codegen.factoryMode", factory)
+        body
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+          spark.conf.set("spark.sql.codegen.factoryMode", _))
+      }
+    }
+    val viaCodegen = withModes("true", "CODEGEN_ONLY")(
+      allKernels.collect().map(_.toSeq).toSeq)
+    val viaInterp = withModes("false", "NO_CODEGEN")(
+      allKernels.collect().map(_.toSeq).toSeq)
+    assert(viaCodegen === viaInterp)
+  }
 }
