@@ -66,4 +66,15 @@ class ConnectedComponentsScaleSpec extends SparkSpec {
     assert((0L to 80000L).forall(n => got(n) == 0L))
     assert((0 until 10000).forall(k => got(100001L + 2 * k) == 100000L + 2 * k))
   }
+
+  test("the star-forest safety net fires on both violation modes and passes a real star forest") {
+    // A safety check nothing can trip is dead code: prove the net
+    // catches (1) a chain — a node on both sides of an edge — and
+    // (2) a multi-parent node, and accepts a genuine star forest.
+    def check(edges: (Long, Long)*): Unit =
+      ConnectedComponents.assertStarForest(edges.toDF("src", "dst"))
+    intercept[IllegalStateException](check((3L, 1L), (5L, 3L)))   // chain: 3 is src and dst
+    intercept[IllegalStateException](check((3L, 1L), (3L, 2L)))   // multi-parent: 3 → {1, 2}
+    check((2L, 1L), (3L, 1L), (5L, 4L))                           // two clean stars: passes
+  }
 }
