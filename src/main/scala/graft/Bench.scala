@@ -1,9 +1,28 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.Sort
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Sort}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 object Bench {
+  /** The plan with its trailing determinism Sort removed, if it has one:
+    * a global Sort at the root, or one sitting under trailing Project
+    * nodes (a query that re-projects after its orderBy). Deliberately
+    * does NOT descend through Limit: a global Sort under a Limit is
+    * top-k semantics — removing it would change WHICH rows the query
+    * computes, not just their order, so the "same rows, unordered"
+    * diagnostic contract would no longer hold. Returns None when there
+    * is no strippable sort; the caller records that query as unstripped
+    * so readers exclude it from ordered-vs-unordered cohort comparison
+    * (its two numbers are the same plan). Window/partition-local sorts
+    * (`global = false`) are never touched — they're operator semantics.
+    */
+  private[graft] def withoutTopSort(plan: LogicalPlan): Option[LogicalPlan] =
+    plan match {
+      case s: Sort if s.global => Some(s.child)
+      case p: Project => withoutTopSort(p.child).map(c => p.copy(child = c))
+      case _ => None
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,22 +54,24 @@ object Bench {
     // doesn't absorb JVM/JIT/codegen startup.
     Tables.all(spark, sfDir).values.foreach(df => df.limit(1000).agg(count(lit(1))).collect())
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    /** The query with its top-level global Sort (the oracle-determinism
-      * orderBy) removed; queries not ending in a sort run unchanged. */
-    def stripSort(df: DataFrame): DataFrame = df.queryExecution.logical match {
-      case s: Sort if s.global => ColumnBridge.ofRows(spark, s.child)
-      case _ => df
-    }
+    /** The query re-planned without its trailing determinism sort, plus
+      * whether anything was actually stripped. */
+    def stripSort(df: DataFrame): (DataFrame, Boolean) =
+      withoutTopSort(df.queryExecution.logical) match {
+        case Some(p) => (ColumnBridge.ofRows(spark, p), true)
+        case None    => (df, false)
+      }
     // noop sink, not count(): count() lets Catalyst prune every computed
     // column (a projection-heavy query would bench as a bare row scan)
     // and drop unlimited sorts; the noop writer materializes each row
     // fully with zero sink cost — the honest per-query number.
-    def once(fn: (SparkSession, String) => DataFrame, ordered: Boolean): Double = {
+    def once(fn: (SparkSession, String) => DataFrame,
+             ordered: Boolean): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
-      (if (ordered) df else stripSort(df))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val (run, stripped) = if (ordered) (df, false) else stripSort(df)
+      run.write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9, stripped)
     }
     // Interleaved whole-suite rounds, per-query min. The previous
     // back-to-back best-of-2 produced a phantom >1.3x delta on unchanged
@@ -65,10 +86,14 @@ object Bench {
     val headlineOrdered = mode != "unordered"
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val samplesUnordered = scala.collection.mutable.Map.empty[String, List[Double]]
+    // Queries whose "unordered" run had no sort to strip — their two
+    // numbers are the same plan, so cohort comparisons must exclude them.
+    val unstripped = scala.collection.mutable.Set.empty[String]
     var failed = Set.empty[String]
     for (r <- 1 to rounds; (name, fn) <- queries if !failed(name)) {
       try {
-        val t = once(fn, ordered = headlineOrdered)
+        val (t, stripped) = once(fn, ordered = headlineOrdered)
+        if (!headlineOrdered && !stripped) unstripped += name
         val into = if (headlineOrdered) samples else samplesUnordered
         into(name) = t :: into.getOrElse(name, Nil)
       } catch { case e: Throwable =>
@@ -85,8 +110,11 @@ object Bench {
     var unorderedFailed = Set.empty[String]
     if (mode == "both") {
       for ((name, fn) <- queries if !failed(name)) {
-        try samplesUnordered(name) = once(fn, ordered = false) :: Nil
-        catch { case e: Throwable =>
+        try {
+          val (t, stripped) = once(fn, ordered = false)
+          if (!stripped) unstripped += name
+          samplesUnordered(name) = t :: Nil
+        } catch { case e: Throwable =>
           unorderedFailed += name
           System.err.println(s"[bench] $name unordered FAILED: ${e.getMessage}")
         }
@@ -102,6 +130,8 @@ object Bench {
         .mkString("{", ",", "}")
     def samplesJson(m: scala.collection.Map[String, List[Double]]): String =
       mapJson(m.map { case (k, v) => k -> v.reverse.mkString("[", ",", "]") }.toMap)
+    def namesJson(s: Iterable[String]): String =
+      s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // failed queries are NOT in the per-query map (a -1.0 sentinel reads
     // as a duration to anything aggregating or plotting it); they're
     // enumerated in `failed` and poison the headline total below
@@ -113,9 +143,6 @@ object Bench {
     val unorderedJson =
       if (mode == "ordered") "{}"
       else mapJson(samplesUnordered.map { case (k, v) => k -> v.min.toString }.toMap)
-    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val unorderedFailedJson =
-      unorderedFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // headline total = -1 (hard failure) when ANY query failed: summing
     // only successes would let a slow query "improve" the headline by
     // breaking outright. Consumers see the failed list either way.
@@ -127,11 +154,20 @@ object Bench {
     // come first and the headline (queries, failed, value) comes last —
     // truncation eats diagnostics before it eats the verdict-bearing
     // fields. The untruncated line also lands in BENCH_FULL.json.
-    val line = s"""{"metric":"total","unit":"sec","mode":"$mode","sf":"$sfDir","samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_failed":$unorderedFailedJson,"queries":$qs,"failed":$failedJson,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","mode":"$mode","sf":"$sfDir","samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(line) finally w.close()
     } catch { case _: Exception => () } // stdout is the contract; the file is best-effort
+    // Cross-round adjudication needs more than one run's raw samples,
+    // but BENCH_FULL.json is overwritten per run and the driver's
+    // BENCH_rN artifact keeps only the line's tail. Append the full
+    // line (wall-clock-stamped) to a history log nothing overwrites.
+    try {
+      val w = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
+      try w.write(s"""{"ts":"${java.time.Instant.now}",${line.drop(1)}""" + "\n")
+      finally w.close()
+    } catch { case _: Exception => () }
     println(line)
     spark.stop()
   }

@@ -111,13 +111,15 @@ object Multimodal {
     * not O(pixels) — the right trade for a 100 TB metadata pass. */
   object ImageIoCodec extends MediaCodec {
     def open(): Array[Byte] => Option[DecodedMeta] = {
-      // Per-partition init: disable ImageIO's temp-file cache so decode is
-      // pure in-memory (no executor-local disk churn under 32 tasks).
-      javax.imageio.ImageIO.setUseCache(false)
       bytes =>
         if (bytes == null || bytes.length == 0) None
         else {
-          val in = javax.imageio.ImageIO.createImageInputStream(
+          // MemoryCacheImageInputStream directly: decode stays pure
+          // in-memory (no executor-local temp-file churn under 32 tasks)
+          // WITHOUT ImageIO.setUseCache(false) — that static toggle is
+          // JVM-global and would silently change behavior for any other
+          // ImageIO user sharing the executor.
+          val in = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           try {
             val readers = javax.imageio.ImageIO.getImageReaders(in)

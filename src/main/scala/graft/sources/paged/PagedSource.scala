@@ -38,7 +38,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Usage: `spark.read.format("graft.sources.paged.PagedSource")
   *   .option("path", file).option("pageSize", 50).load()` — or
-  *   `.option("url", "https://host/v1/things")`.
+  *   `.option("url", "https://host/v1/things")`, optionally with
+  *   `.option("ratePerSec", 5.0).option("burst", 8)` to tune the
+  *   per-executor throttle for that endpoint (defaults: reference
+  *   pacing, [[Endpoint.DefaultRatePerSec]]/[[Endpoint.DefaultBurst]]).
   */
 class PagedSource extends TableProvider {
 
@@ -48,7 +51,11 @@ class PagedSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new PagedTable(
-      Endpoint(Option(properties.get("path")), Option(properties.get("url"))),
+      Endpoint(Option(properties.get("path")), Option(properties.get("url")),
+        ratePerSec = Option(properties.get("ratePerSec"))
+          .map(_.toDouble).getOrElse(Endpoint.DefaultRatePerSec),
+        burst = Option(properties.get("burst"))
+          .map(_.toInt).getOrElse(Endpoint.DefaultBurst)),
       Option(properties.get("pageSize")).map(_.toInt).getOrElse(50))
 }
 
@@ -57,31 +64,49 @@ class PagedSource extends TableProvider {
   * [[RestPageClient]] over [[JdkHttpTransport]]). Serializable — shipped
   * to executors inside [[PagedReaderFactory]]; the client itself is
   * built on arrival (HTTP clients and file handles don't serialize). */
-final case class Endpoint(path: Option[String], url: Option[String]) {
+final case class Endpoint(path: Option[String], url: Option[String],
+                          ratePerSec: Double = Endpoint.DefaultRatePerSec,
+                          burst: Int = Endpoint.DefaultBurst) {
   require(path.isDefined ^ url.isDefined,
     "exactly one of 'path' or 'url' must be set")
+  require(ratePerSec > 0, s"ratePerSec must be positive, got $ratePerSec")
+  require(burst >= 1, s"burst must be at least 1, got $burst")
 
   def describe: String = url.orElse(path).get
 
   /** Build the client stack on the current JVM: transport (shared
-    * per-executor, throttled) → REST/file client → retry/re-auth. */
+    * per-executor per-endpoint, throttled) → REST/file client →
+    * retry/re-auth. */
   def client(): PageClient = new RetryingClient(
     url match {
-      case Some(u) => new RestPageClient(Endpoint.transport, u)
+      case Some(u) => new RestPageClient(Endpoint.transport(u, ratePerSec, burst), u)
       case None    => new LineFileClient(path.get)
     },
     auth = ExecutorAuth.provider)
 }
 
 object Endpoint {
-  /** One throttled HTTP transport per executor JVM (the S3 semantic —
-    * TokenBucketTransport's rate is per-executor): page readers on an
-    * executor share this bucket instead of each minting an unthrottled
-    * client. Reference pacing: ≤2 req/s sustained
-    * (01_TestingPy/Spotify_API3.py:62-63), burst 4 so a cold scan's
-    * first pages aren't serialized behind an empty bucket. */
-  lazy val transport: HttpTransport =
-    new TokenBucketTransport(new JdkHttpTransport(), ratePerSec = 2.0, burst = 4)
+  /** Reference pacing: ≤2 req/s sustained
+    * (01_TestingPy/Spotify_API3.py:62-63); burst 4 so a cold scan's
+    * first pages aren't serialized behind an empty bucket. Overridable
+    * per scan via DSv2 options `ratePerSec` / `burst`. */
+  val DefaultRatePerSec = 2.0
+  val DefaultBurst = 4
+
+  private val transports =
+    scala.collection.concurrent.TrieMap.empty[(String, Double, Int), HttpTransport]
+
+  /** One throttled HTTP transport per (endpoint base URL, rate config)
+    * per executor JVM (the S3 semantic — TokenBucketTransport's rate is
+    * per-executor): page readers on an executor scanning the same
+    * endpoint share one bucket instead of each minting an unthrottled
+    * client, while two DIFFERENT endpoints get independent budgets —
+    * one slow API must not starve a scan against a fast one. Keying by
+    * rate config too means a re-scan with changed options gets a fresh
+    * bucket rather than silently keeping the old pacing. */
+  def transport(baseUrl: String, ratePerSec: Double, burst: Int): HttpTransport =
+    transports.getOrElseUpdate((baseUrl, ratePerSec, burst),
+      new TokenBucketTransport(new JdkHttpTransport(), ratePerSec, burst))
 }
 
 object PagedSource {

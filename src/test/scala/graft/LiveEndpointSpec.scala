@@ -21,11 +21,21 @@ class LiveEndpointSpec extends AnyFunSuite {
       t.fetch(base, Map("Accept" -> "application/json"))
     }
     val reply = sys.env.get("GRAFT_LIVE_BASE_URL") match {
-      case Some(live) => smoke(live)
-      case None       => LoopbackApi.withApi(api => smoke(api.base))
+      case Some(live) =>
+        val r = smoke(live)
+        // 2xx/3xx only: a live 404/401 means the smoke is pointed at the
+        // wrong URL or bad credentials — exactly what this first-
+        // deployment check exists to catch, so it must NOT pass.
+        // (3xx survives only when Redirect.NORMAL declines to follow,
+        // e.g. https→http — reachability is still proven.)
+        assert(r.status >= 200 && r.status < 400,
+          s"live endpoint not OK: ${r.status}")
+        r
+      case None =>
+        val r = LoopbackApi.withApi(api => smoke(api.base))
+        assert(r.status === 200, s"loopback must serve 200: ${r.status}")
+        r
     }
-    assert(reply.status >= 200 && reply.status < 500,
-      s"endpoint unreachable or server error: ${reply.status}")
     info(s"smoke: ${reply.status}, ${reply.body.length} bytes, " +
       s"${reply.headers.size} headers")
   }

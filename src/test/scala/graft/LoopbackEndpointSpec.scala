@@ -28,13 +28,27 @@ final class LoopbackApi(rows: Seq[(String, String, Int, String)])
   val requests = new ConcurrentLinkedQueue[String]()       // query strings seen
   val authHeaders = new ConcurrentLinkedQueue[String]()    // Authorization values
   val failures = new ConcurrentLinkedQueue[(Int, Option[Long])]()
+  val redirectHits = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/v1/things", new Handler)
+  // A moved-endpoint alias: every request here gets a 301 to the real
+  // context (query string preserved) — exercises the transport's
+  // redirect-following (Redirect.NORMAL), which nothing else executes.
+  server.createContext("/old/things", new HttpHandler {
+    override def handle(x: HttpExchange): Unit = {
+      redirectHits.incrementAndGet()
+      val q = Option(x.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
+      x.getResponseHeaders.add("Location", s"$base$q")
+      x.sendResponseHeaders(301, -1) // no body
+      x.close()
+    }
+  })
   server.setExecutor(Executors.newFixedThreadPool(4))
   server.start()
 
   def base: String = s"http://127.0.0.1:${server.getAddress.getPort}/v1/things"
+  def movedBase: String = s"http://127.0.0.1:${server.getAddress.getPort}/old/things"
   def queries: Seq[String] = requests.asScala.toSeq
   override def close(): Unit = server.stop(0)
 
@@ -183,6 +197,43 @@ class LoopbackEndpointSpec extends SparkSpec {
       api.failures.clear()
       (0 to 4).foreach(_ => api.failures.add((500, None)))
       intercept[java.io.IOException](client.total(None))
+    }
+  }
+
+  test("301 redirect is followed: the client lands on the redirected body") {
+    LoopbackApi.withApi { api =>
+      // point the client at the moved alias; JdkHttpTransport's
+      // Redirect.NORMAL must chase the 301 to the real context and hand
+      // the page client the redirected envelope, not the 301 itself
+      val client = new RetryingClient(
+        new RestPageClient(new JdkHttpTransport(), api.movedBase))
+      assert(client.total(None) === 100L,
+        "the envelope must come from the redirect target")
+      assert(api.redirectHits.get() === 1, "exactly one hit on the alias")
+      assert(api.queries.exists(q => q.contains("offset=0") && q.contains("limit=1")),
+        "the query string must survive the redirect to the real context")
+    }
+  }
+
+  test("transports are keyed per endpoint and rate config") {
+    // same endpoint + same config → one shared bucket (the S3 semantic);
+    // different endpoint or different pacing → independent budgets
+    val a = Endpoint.transport("http://h1/v1", 2.0, 4)
+    assert(a eq Endpoint.transport("http://h1/v1", 2.0, 4))
+    assert(!(a eq Endpoint.transport("http://h2/v1", 2.0, 4)))
+    assert(!(a eq Endpoint.transport("http://h1/v1", 9.0, 4)))
+  }
+
+  test("DSv2 rate options plumb through to the endpoint") {
+    LoopbackApi.withApi { api =>
+      // a generous per-scan budget (loopback has no pacing contract) —
+      // proves the options parse, validate, and reach Endpoint
+      val df = spark.read.format("graft.sources.paged.PagedSource")
+        .option("url", api.base).option("pageSize", 50)
+        .option("ratePerSec", "100").option("burst", "16").load()
+      assert(df.count() === 100L)
+      assert(Endpoint.transport(api.base, 100.0, 16) eq
+        Endpoint.transport(api.base, 100.0, 16))
     }
   }
 
