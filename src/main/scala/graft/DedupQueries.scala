@@ -469,6 +469,14 @@ object DedupQueries {
     // rarity blocking — d51/d53 are faster only because map-side MinHash
     // signatures never materialize postings. Partial (map-side) agg is
     // already active; don't re-litigate caching (see d51 note above).
+    // Adjudicated (round 11): one bench round's ordered samples hit
+    // 7.4/10.3/12.5s against an unchanged plan — two immediately
+    // subsequent runs (BENCH_HISTORY.jsonl 2026-08-13T02:55/02:59Z)
+    // came back at ordered mins 4.12s/3.89s with unordered 4.39s/3.95s,
+    // matching this profile. That is the sustained-VM-disturbance noise
+    // mode (hits all of a query's interleaved slots at once — the one
+    // mode interleaving can't decorrelate); adjudicate any future
+    // elevation from >=2 history runs before touching the plan.
     QueryDef("d57_containment",
       (s, dir) => {
         val MAXDF = 25
