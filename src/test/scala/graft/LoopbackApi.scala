@@ -1,0 +1,121 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors}
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** A real loopback REST endpoint (JDK `com.sun.net.httpserver` — no
+  * container dependencies) serving the reference's envelope shape
+  * (`{"total": N, "items": [...]}` with offset/limit pagination, market
+  * filtering, field projection, comma-joined `ids` multi-get — cf.
+  * 01_TestingPy/Spotify_API3.py:48-83). Used by [[LoopbackEndpointSpec]]
+  * to exercise [[JdkHttpTransport]] + [[RestPageClient]] +
+  * [[RetryingClient]] + the DSv2 scan over an actual socket — the one
+  * code path canned-transport specs can't reach.
+  *
+  * `failures` is a queue of (status, Retry-After seconds) the handler
+  * pops BEFORE serving — push entries to make the next request(s) fail,
+  * exercising the 401/429/5xx retry paths against real HTTP responses.
+  */
+final class LoopbackApi(rows: Seq[(String, String, Int, String)])
+    extends AutoCloseable {
+
+  val requests = new ConcurrentLinkedQueue[String]()       // query strings seen
+  val authHeaders = new ConcurrentLinkedQueue[String]()    // Authorization values
+  val failures = new ConcurrentLinkedQueue[(Int, Option[Long])]()
+  val redirectHits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/v1/things", new Handler)
+  // A moved-endpoint alias: every request here gets a 301 to the real
+  // context (query string preserved) — exercises the transport's
+  // redirect-following (Redirect.NORMAL), which nothing else executes.
+  server.createContext("/old/things", new HttpHandler {
+    override def handle(x: HttpExchange): Unit = {
+      redirectHits.incrementAndGet()
+      val q = Option(x.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
+      x.getResponseHeaders.add("Location", s"$base$q")
+      x.sendResponseHeaders(301, -1) // no body
+      x.close()
+    }
+  })
+  server.setExecutor(Executors.newFixedThreadPool(4))
+  server.start()
+
+  def base: String = s"http://127.0.0.1:${server.getAddress.getPort}/v1/things"
+  def movedBase: String = s"http://127.0.0.1:${server.getAddress.getPort}/old/things"
+  def queries: Seq[String] = requests.asScala.toSeq
+  override def close(): Unit = server.stop(0)
+
+  private final class Handler extends HttpHandler {
+    override def handle(x: HttpExchange): Unit = {
+      // RAW query: URI.getQuery percent-decodes, and the split/decode in
+      // envelope() below would then decode a SECOND time (corrupting any
+      // value containing '%' or '+', and mis-splitting an encoded '&').
+      // Raw in, split on the wire-level separators, decode each part once.
+      val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
+      requests.add(q)
+      authHeaders.add(Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      failures.poll() match {
+        case null => respond(x, 200, envelope(q))
+        case (status, retryAfterSec) =>
+          retryAfterSec.foreach(s => x.getResponseHeaders.add("Retry-After", s.toString))
+          respond(x, status, s"""{"error":$status}""")
+      }
+    }
+
+    private def envelope(q: String): String = {
+      val params = q.split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+      val filtered = params.get("market").fold(rows)(m => rows.filter(_._4 == m))
+      val selected = params.get("ids") match {
+        case Some(ids) =>
+          val want = ids.split(",").toSet
+          filtered.filter(r => want(r._1))
+        case None =>
+          val off = params.getOrElse("offset", "0").toInt
+          val lim = params.getOrElse("limit", "50").toInt
+          filtered.slice(off, off + lim)
+      }
+      val fields = params.get("fields").map(_.split(",").toSeq)
+        .getOrElse(Seq("id", "name", "popularity", "market"))
+      val items = selected.map { r =>
+        fields.map {
+          case "id"         => s""""id":"${r._1}""""
+          case "name"       => s""""name":"${r._2}""""
+          case "popularity" => s""""popularity":${r._3}"""
+          case "market"     => s""""market":"${r._4}""""
+          case other        => s""""$other":null"""
+        }.mkString("{", ",", "}")
+      }.mkString("[", ",", "]")
+      s"""{"total":${filtered.size},"items":$items}"""
+    }
+
+    private def respond(x: HttpExchange, status: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      x.getResponseHeaders.add("Content-Type", "application/json")
+      x.sendResponseHeaders(status, bytes.length)
+      val os = x.getResponseBody
+      try os.write(bytes) finally os.close()
+      x.close()
+    }
+  }
+}
+
+object LoopbackApi {
+  /** 100 rows over 3 markets — 2 pages at the default pageSize 50. */
+  def fixtureRows: Seq[(String, String, Int, String)] =
+    (0 until 100).map(i =>
+      (s"id$i", s"name$i", i % 97, Seq("ID", "US", "JP")(i % 3)))
+
+  def withApi[T](f: LoopbackApi => T): T = {
+    val api = new LoopbackApi(fixtureRows)
+    try f(api) finally api.close()
+  }
+}
