@@ -107,6 +107,14 @@ object Endpoint {
   def transport(baseUrl: String, ratePerSec: Double, burst: Int): HttpTransport =
     transports.getOrElseUpdate((baseUrl, ratePerSec, burst),
       new TokenBucketTransport(new JdkHttpTransport(), ratePerSec, burst))
+
+  /** Test hook: whether a bucket for this exact key exists WITHOUT
+    * creating one ([[transport]]'s getOrElseUpdate would) — lets specs
+    * prove a scan's DSv2 options actually reached the transport layer
+    * rather than silently falling back to defaults. */
+  private[graft] def hasTransport(baseUrl: String, ratePerSec: Double,
+                                  burst: Int): Boolean =
+    transports.contains((baseUrl, ratePerSec, burst))
 }
 
 object PagedSource {

@@ -108,14 +108,24 @@ class LoopbackEndpointSpec extends SparkSpec {
 
   test("DSv2 rate options plumb through to the endpoint") {
     LoopbackApi.withApi { api =>
-      // a generous per-scan budget (loopback has no pacing contract) —
-      // proves the options parse, validate, and reach Endpoint
+      // a generous per-scan budget (loopback has no pacing contract).
+      // hasTransport (no-create probe) before/after proves the scan
+      // itself built its bucket from the scan's own option values — a
+      // silent parse/key miss would fall back to defaults and the scan
+      // would still return 100 rows, so row count alone proves nothing.
+      assert(!Endpoint.hasTransport(api.base, 100.0, 16))
       val df = spark.read.format("graft.sources.paged.PagedSource")
         .option("url", api.base).option("pageSize", 50)
         .option("ratePerSec", "100").option("burst", "16").load()
       assert(df.count() === 100L)
-      assert(Endpoint.transport(api.base, 100.0, 16) eq
-        Endpoint.transport(api.base, 100.0, 16))
+      assert(Endpoint.hasTransport(api.base, 100.0, 16),
+        "the scan must key its throttle by the options it was given")
+    }
+    // invalid pacing must fail loudly at planning, not silently default
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.paged.PagedSource")
+        .option("url", "http://127.0.0.1:1/v1/things")
+        .option("ratePerSec", "-5").load()
     }
   }
 
