@@ -23,6 +23,27 @@ object Bench {
       case _ => None
     }
 
+  /** Best-effort git HEAD sha, read straight from `.git` (no process
+    * fork — the bench must not pay or depend on a `git` binary).
+    * Resolves `ref:` indirection and falls back to `packed-refs`; None
+    * when there's no repo or anything looks off. History lines carry
+    * this so a cross-round citation ("run X was commit Y") doesn't
+    * depend on matching timestamps to the git log. */
+  private[graft] def gitHeadSha(repoRoot: String = "."): Option[String] = {
+    def read(p: java.nio.file.Path): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+      catch { case _: Exception => None }
+    val git = java.nio.file.Paths.get(repoRoot, ".git")
+    read(git.resolve("HEAD")).flatMap { head =>
+      if (head.startsWith("ref: ")) {
+        val ref = head.stripPrefix("ref: ").trim
+        read(git.resolve(ref)).orElse(
+          read(git.resolve("packed-refs")).flatMap(_.linesIterator
+            .map(_.trim).find(_.endsWith(" " + ref)).map(_.split(' ').head)))
+      } else Some(head)
+    }.filter(_.matches("[0-9a-f]{40}"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -154,7 +175,10 @@ object Bench {
     // come first and the headline (queries, failed, value) comes last —
     // truncation eats diagnostics before it eats the verdict-bearing
     // fields. The untruncated line also lands in BENCH_FULL.json.
-    val line = s"""{"metric":"total","unit":"sec","mode":"$mode","sf":"$sfDir","samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total}"""
+    // unstripped minus failed: a query recorded as unstripped in an early
+    // round but failing a later one would otherwise sit in two mutually
+    // inconsistent cohorts (unstripped AND failed-with-no-samples).
+    val line = s"""{"metric":"total","unit":"sec","mode":"$mode","sf":"$sfDir","samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(line) finally w.close()
@@ -165,7 +189,9 @@ object Bench {
     // line (wall-clock-stamped) to a history log nothing overwrites.
     try {
       val w = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
-      try w.write(s"""{"ts":"${java.time.Instant.now}",${line.drop(1)}""" + "\n")
+      val sha = gitHeadSha().getOrElse("unknown")
+      try w.write(
+        s"""{"ts":"${java.time.Instant.now}","sha":"$sha",${line.drop(1)}""" + "\n")
       finally w.close()
     } catch { case _: Exception => () }
     println(line)

@@ -68,4 +68,29 @@ class BenchStripSortSpec extends SparkSpec {
   test("a sortless plan is untouched") {
     assert(strip(df.groupBy("g").count()).isEmpty)
   }
+
+  // gitHeadSha feeds the BENCH_HISTORY provenance field; it must resolve
+  // HEAD without forking a process, and fail to None (never garbage)
+  // when there's no repo.
+  test("gitHeadSha resolves this repo's HEAD to a 40-hex sha") {
+    // sbt test runs from the repo root, same cwd the bench runs from
+    val sha = Bench.gitHeadSha()
+    assert(sha.isDefined, ".git/HEAD must resolve")
+    assert(sha.get.matches("[0-9a-f]{40}"))
+    // and it matches what git itself says HEAD is (read the ref chain
+    // independently rather than trusting the implementation's own path)
+    val head = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(".git/HEAD")), "UTF-8").trim
+    if (head.startsWith("ref: ")) {
+      val refFile = java.nio.file.Paths.get(".git", head.stripPrefix("ref: ").trim)
+      if (java.nio.file.Files.exists(refFile))
+        assert(sha.get === new String(
+          java.nio.file.Files.readAllBytes(refFile), "UTF-8").trim)
+    } else assert(sha.get === head)
+  }
+
+  test("gitHeadSha is None outside a git repo") {
+    val tmp = java.nio.file.Files.createTempDirectory("norepo").toString
+    assert(Bench.gitHeadSha(tmp).isEmpty)
+  }
 }
