@@ -49,14 +49,20 @@ class PagedSource extends TableProvider {
     PagedSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // DSv2 options are conventionally case-insensitive; the raw
+    // properties map is not. Without the wrapper, .option("ratepersec",…)
+    // would silently fall back to the default — the exact silent-fallback
+    // mode the hasTransport spec exists to catch.
+    val opts = new CaseInsensitiveStringMap(properties)
     new PagedTable(
-      Endpoint(Option(properties.get("path")), Option(properties.get("url")),
-        ratePerSec = Option(properties.get("ratePerSec"))
+      Endpoint(Option(opts.get("path")), Option(opts.get("url")),
+        ratePerSec = Option(opts.get("ratePerSec"))
           .map(_.toDouble).getOrElse(Endpoint.DefaultRatePerSec),
-        burst = Option(properties.get("burst"))
+        burst = Option(opts.get("burst"))
           .map(_.toInt).getOrElse(Endpoint.DefaultBurst)),
-      Option(properties.get("pageSize")).map(_.toInt).getOrElse(50))
+      Option(opts.get("pageSize")).map(_.toInt).getOrElse(50))
+  }
 }
 
 /** Where the scan's pages come from: a local `|`-delimited file (`path`,
@@ -93,28 +99,43 @@ object Endpoint {
   val DefaultRatePerSec = 2.0
   val DefaultBurst = 4
 
-  private val transports =
-    scala.collection.concurrent.TrieMap.empty[(String, Double, Int), HttpTransport]
+  /** The ONE `java.net.http` client per executor JVM. Only the token
+    * buckets are per-endpoint; keying whole transports would mint a new
+    * HttpClient (each with its own selector thread) per distinct option
+    * set, accumulating unboundedly in a long-lived executor scanning
+    * many endpoints. The JDK client pools connections per-host
+    * internally, so sharing it across endpoints costs nothing. */
+  private lazy val sharedHttp: HttpTransport = new JdkHttpTransport()
 
-  /** One throttled HTTP transport per (endpoint base URL, rate config)
-    * per executor JVM (the S3 semantic — TokenBucketTransport's rate is
-    * per-executor): page readers on an executor scanning the same
-    * endpoint share one bucket instead of each minting an unthrottled
-    * client, while two DIFFERENT endpoints get independent budgets —
-    * one slow API must not starve a scan against a fast one. Keying by
-    * rate config too means a re-scan with changed options gets a fresh
-    * bucket rather than silently keeping the old pacing. */
-  def transport(baseUrl: String, ratePerSec: Double, burst: Int): HttpTransport =
-    transports.getOrElseUpdate((baseUrl, ratePerSec, burst),
-      new TokenBucketTransport(new JdkHttpTransport(), ratePerSec, burst))
+  private val buckets =
+    scala.collection.concurrent.TrieMap.empty[String, TokenBucketTransport]
 
-  /** Test hook: whether a bucket for this exact key exists WITHOUT
-    * creating one ([[transport]]'s getOrElseUpdate would) — lets specs
-    * prove a scan's DSv2 options actually reached the transport layer
-    * rather than silently falling back to defaults. */
+  /** One throttled transport per endpoint base URL per executor JVM
+    * (the S3 semantic — TokenBucketTransport's rate is per-executor):
+    * page readers on an executor scanning the same endpoint share one
+    * bucket instead of each minting an unthrottled client, while two
+    * DIFFERENT endpoints get independent budgets — one slow API must
+    * not starve a scan against a fast one. Keyed by URL ONLY: a scan
+    * arriving with different rate options reconfigures the endpoint's
+    * existing bucket in place (last config wins), so concurrent
+    * mixed-config scans of one endpoint are jointly capped at the most
+    * recent config rather than summing independent buckets — the
+    * pacing the throttle exists to enforce stays enforced. */
+  def transport(baseUrl: String, ratePerSec: Double, burst: Int): HttpTransport = {
+    val bucket = buckets.getOrElseUpdate(baseUrl,
+      new TokenBucketTransport(sharedHttp, ratePerSec, burst))
+    bucket.reconfigure(ratePerSec, burst)
+    bucket
+  }
+
+  /** Test hook: whether this endpoint's bucket exists WITH this exact
+    * pacing in force, WITHOUT creating or reconfiguring anything
+    * ([[transport]] would) — lets specs prove a scan's DSv2 options
+    * actually reached the transport layer rather than silently falling
+    * back to defaults. */
   private[graft] def hasTransport(baseUrl: String, ratePerSec: Double,
                                   burst: Int): Boolean =
-    transports.contains((baseUrl, ratePerSec, burst))
+    buckets.get(baseUrl).exists(_.config == (ratePerSec -> burst))
 }
 
 object PagedSource {

@@ -37,12 +37,36 @@ class TokenBucketTransport(inner: HttpTransport, ratePerSec: Double = 2.0,
   require(ratePerSec > 0, "ratePerSec must be positive")
   require(burst >= 1, "burst must be at least 1")
 
+  // pacing is mutable under the instance lock: the per-endpoint bucket
+  // cache reconfigures ONE bucket in place when a scan arrives with new
+  // options, so concurrent mixed-config scans of the same endpoint share
+  // a single budget instead of summing independent ones
+  private[this] var rate: Double = ratePerSec
+  private[this] var cap: Int = burst
   private[this] var tokens: Double = burst.toDouble
   private[this] var last: Long = clock.nowMs
 
+  /** The pacing currently in force — the no-create probe specs use to
+    * prove a scan's DSv2 options reached this layer. */
+  def config: (Double, Int) = synchronized((rate, cap))
+
+  /** Re-point the bucket at a new pacing (no-op when unchanged). Tokens
+    * already accrued settle at the OLD rate first, then clamp to the new
+    * burst — switching rates never mints a free burst. */
+  def reconfigure(newRate: Double, newBurst: Int): Unit = synchronized {
+    require(newRate > 0, s"ratePerSec must be positive, got $newRate")
+    require(newBurst >= 1, s"burst must be at least 1, got $newBurst")
+    if (newRate != rate || newBurst != cap) {
+      refill()
+      rate = newRate
+      cap = newBurst
+      tokens = math.min(tokens, cap.toDouble)
+    }
+  }
+
   private def refill(): Unit = {
     val now = clock.nowMs
-    tokens = math.min(burst.toDouble, tokens + (now - last) / 1000.0 * ratePerSec)
+    tokens = math.min(cap.toDouble, tokens + (now - last) / 1000.0 * rate)
     last = now
   }
 
@@ -50,7 +74,7 @@ class TokenBucketTransport(inner: HttpTransport, ratePerSec: Double = 2.0,
   private def acquire(): Unit = synchronized {
     refill()
     if (tokens < 1.0) {
-      clock.sleep(math.ceil((1.0 - tokens) / ratePerSec * 1000.0).toLong)
+      clock.sleep(math.ceil((1.0 - tokens) / rate * 1000.0).toLong)
       refill()
     }
     // after the computed sleep the bucket holds ~1.0 tokens; going

@@ -97,13 +97,45 @@ class LoopbackEndpointSpec extends SparkSpec {
     }
   }
 
-  test("transports are keyed per endpoint and rate config") {
-    // same endpoint + same config → one shared bucket (the S3 semantic);
-    // different endpoint or different pacing → independent budgets
+  test("one bucket per endpoint; a config change reconfigures it in place") {
+    // same endpoint → ONE shared bucket regardless of config (the S3
+    // semantic, and the guarantee that concurrent mixed-config scans of
+    // one endpoint can't sum their rates past the intended pacing);
+    // different endpoint → independent budget
     val a = Endpoint.transport("http://h1/v1", 2.0, 4)
     assert(a eq Endpoint.transport("http://h1/v1", 2.0, 4))
     assert(!(a eq Endpoint.transport("http://h2/v1", 2.0, 4)))
-    assert(!(a eq Endpoint.transport("http://h1/v1", 9.0, 4)))
+    // a re-scan with new pacing gets the SAME bucket, reconfigured:
+    // last config wins for everyone still scanning this endpoint
+    assert(a eq Endpoint.transport("http://h1/v1", 9.0, 6))
+    assert(Endpoint.hasTransport("http://h1/v1", 9.0, 6))
+    assert(!Endpoint.hasTransport("http://h1/v1", 2.0, 4),
+      "the old pacing must no longer be in force")
+  }
+
+  test("reconfigure does not mint a free burst") {
+    // a bucket drained at burst=2 then reconfigured to burst=8 must not
+    // suddenly hold 8 tokens — accrual continues from the drained state
+    val clock = new Clock {
+      var t = 0L
+      def nowMs: Long = t
+      def sleep(ms: Long): Unit = t += ms
+    }
+    var calls = 0
+    val counting = new HttpTransport {
+      def get(url: String, headers: Map[String, String]): (Int, String) =
+        { calls += 1; (200, "{}") }
+    }
+    val b = new TokenBucketTransport(counting, ratePerSec = 1.0, burst = 2,
+      clock = clock)
+    b.get("http://x", Map.empty); b.get("http://x", Map.empty) // drain both
+    b.reconfigure(4.0, 8)
+    assert(b.config === ((4.0, 8)))
+    val t0 = clock.t
+    b.get("http://x", Map.empty) // tokens ~0 → must wait ~1/4s at the NEW rate
+    assert(clock.t - t0 >= 200L && clock.t - t0 <= 300L,
+      s"expected ~250ms wait for one token at 4/s from empty, got ${clock.t - t0}ms")
+    assert(calls === 3)
   }
 
   test("DSv2 rate options plumb through to the endpoint") {
@@ -126,6 +158,20 @@ class LoopbackEndpointSpec extends SparkSpec {
       spark.read.format("graft.sources.paged.PagedSource")
         .option("url", "http://127.0.0.1:1/v1/things")
         .option("ratePerSec", "-5").load()
+    }
+  }
+
+  test("DSv2 options are case-insensitive") {
+    LoopbackApi.withApi { api =>
+      // the DSv2 convention: .option("ratepersec", …) must be honored,
+      // not silently dropped to the default — proven by the no-create
+      // probe, since the scan returns 100 rows either way
+      val df = spark.read.format("graft.sources.paged.PagedSource")
+        .option("URL", api.base).option("PAGESIZE", "50")
+        .option("ratepersec", "50").option("BURST", "12").load()
+      assert(df.count() === 100L)
+      assert(Endpoint.hasTransport(api.base, 50.0, 12),
+        "mis-cased rate options must reach the transport layer")
     }
   }
 
