@@ -443,6 +443,16 @@ object DedupQueries {
     // this corpus: the planted dups are all cross-source, see
     // bigramPairs scaladoc). Returned pairs are the same-lang subset of
     // d53's; DedupSpec asserts exactly that.
+    // Cost profile (warm, sf0.1, noop sink): ordered min ~2.4-3.4s,
+    // unordered ~2.0-2.7s (BENCH_HISTORY.jsonl 02:55Z/02:59Z and
+    // sha 0eddb4a 04:13Z/04:17Z). Adjudicated (round 12): the 03:20Z
+    // run's ordered samples hit 5.4/7.0/6.3s — ALL interleaved slots
+    // at once — against an unchanged plan, while the SAME run's
+    // unordered pass sat at 1.96s, in profile; two fresh runs came
+    // back at ordered mins 2.41s/2.37s, unordered 1.98s/1.97s. That is
+    // the sustained-VM-disturbance noise mode adjudicated for d57
+    // below; same rule: adjudicate any future elevation from >=2
+    // history runs before touching the plan.
     QueryDef("d58_blocked_composed",
       (s, dir) => bigramPairs(s, dir, Seq("lang")).orderBy("doc_a", "doc_b"),
       Some(duckBigramPairsSql(Seq("lang")))),
