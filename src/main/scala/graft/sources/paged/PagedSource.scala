@@ -120,7 +120,12 @@ object Endpoint {
     * existing bucket in place (last config wins), so concurrent
     * mixed-config scans of one endpoint are jointly capped at the most
     * recent config rather than summing independent buckets — the
-    * pacing the throttle exists to enforce stays enforced. */
+    * pacing the throttle exists to enforce stays enforced. Buckets are
+    * never evicted, deliberately: each is a handful of plain fields
+    * (the costly HttpClient is the one shared instance above), so the
+    * map grows only with distinct endpoints ever scanned — and an
+    * endpoint's pacing state must survive between scans anyway, or a
+    * scan-per-page driver pattern would reset the budget each time. */
   def transport(baseUrl: String, ratePerSec: Double, burst: Int): HttpTransport = {
     val bucket = buckets.getOrElseUpdate(baseUrl,
       new TokenBucketTransport(sharedHttp, ratePerSec, burst))
