@@ -129,7 +129,13 @@ object Endpoint {
   def transport(baseUrl: String, ratePerSec: Double, burst: Int): HttpTransport = {
     val bucket = buckets.getOrElseUpdate(baseUrl,
       new TokenBucketTransport(sharedHttp, ratePerSec, burst))
-    bucket.reconfigure(ratePerSec, burst)
+    // volatile pre-check before the synchronized reconfigure: the common
+    // case (every page reader of one scan arriving with the same options)
+    // must not queue behind a sibling's in-flight rate-limit wait — even
+    // with acquire() sleeping outside the lock, entering the monitor here
+    // would serialize reader construction for no state change
+    if (bucket.config != (ratePerSec -> burst))
+      bucket.reconfigure(ratePerSec, burst)
     bucket
   }
 
@@ -267,7 +273,15 @@ final class PagedReader(client: PageClient, page: PagePartition,
   override def get(): InternalRow = {
     val values: Array[Any] = fields.zipWithIndex.map { case (f, i) =>
       f match {
-        case "popularity" => current(i).toInt
+        // quarantine, don't crash: a malformed numeric cell (endpoint
+        // serving "n/a", an empty string, a quoted number with junk)
+        // nulls the field — schema is nullable — instead of throwing
+        // NumberFormatException out of the task and killing the whole
+        // scan. Same convention as ImageIoCodec for corrupt payloads:
+        // one bad row must not take down the partition.
+        case "popularity" =>
+          val s = current(i)
+          if (s == null) null else s.toIntOption.map(Int.box).orNull
         case _ => UTF8String.fromString(current(i))
       }
     }

@@ -45,10 +45,16 @@ class TokenBucketTransport(inner: HttpTransport, ratePerSec: Double = 2.0,
   private[this] var cap: Int = burst
   private[this] var tokens: Double = burst.toDouble
   private[this] var last: Long = clock.nowMs
+  // lock-free mirror of (rate, cap): `config` and the bucket cache's
+  // same-config pre-check must not touch the monitor — a reader thread
+  // building a client mustn't queue behind another thread's rate-limit
+  // wait just to discover nothing needs changing
+  @volatile private[this] var cfg: (Double, Int) = (ratePerSec, burst)
 
   /** The pacing currently in force — the no-create probe specs use to
-    * prove a scan's DSv2 options reached this layer. */
-  def config: (Double, Int) = synchronized((rate, cap))
+    * prove a scan's DSv2 options reached this layer. Volatile read, no
+    * lock: never blocks behind an in-progress acquire/reconfigure. */
+  def config: (Double, Int) = cfg
 
   /** Re-point the bucket at a new pacing (no-op when unchanged). Tokens
     * already accrued settle at the OLD rate first, then clamp to the new
@@ -61,6 +67,7 @@ class TokenBucketTransport(inner: HttpTransport, ratePerSec: Double = 2.0,
       rate = newRate
       cap = newBurst
       tokens = math.min(tokens, cap.toDouble)
+      cfg = (newRate, newBurst)
     }
   }
 
@@ -70,17 +77,24 @@ class TokenBucketTransport(inner: HttpTransport, ratePerSec: Double = 2.0,
     last = now
   }
 
-  /** Block until a token is available, then spend it. */
-  private def acquire(): Unit = synchronized {
-    refill()
-    if (tokens < 1.0) {
-      clock.sleep(math.ceil((1.0 - tokens) / rate * 1000.0).toLong)
-      refill()
+  /** Block until a token is available, then spend it. The wait is
+    * computed under the lock but slept OUTSIDE it — holding the monitor
+    * across the sleep would block every concurrent acquire, config read,
+    * and reconfigure for up to a full inter-token interval (~0.5s at the
+    * default 2 req/s, longer at lower rates). After waking, re-check
+    * under the lock: another thread may have taken the refilled token
+    * first, in which case loop and wait again (pacing stays enforced —
+    * each successful exit spends exactly one whole token). */
+  private def acquire(): Unit = {
+    var acquired = false
+    while (!acquired) {
+      val waitMs = synchronized {
+        refill()
+        if (tokens >= 1.0) { tokens -= 1.0; acquired = true; 0L }
+        else math.ceil((1.0 - tokens) / rate * 1000.0).toLong
+      }
+      if (!acquired) clock.sleep(waitMs)
     }
-    // after the computed sleep the bucket holds ~1.0 tokens; going
-    // fractionally negative from ceil/float rounding self-corrects on
-    // the next refill
-    tokens -= 1.0
   }
 
   override def get(url: String, headers: Map[String, String]): (Int, String) = {

@@ -19,8 +19,14 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * `failures` is a queue of (status, Retry-After seconds) the handler
   * pops BEFORE serving — push entries to make the next request(s) fail,
   * exercising the 401/429/5xx retry paths against real HTTP responses.
+  *
+  * `mangle` rewrites every 200 envelope body just before it goes on the
+  * wire — lets a spec serve a malformed payload (e.g. a non-numeric
+  * `popularity` cell) that the well-formed fixture can't express, to
+  * prove the reader quarantines instead of crashing.
   */
-final class LoopbackApi(rows: Seq[(String, String, Int, String)])
+final class LoopbackApi(rows: Seq[(String, String, Int, String)],
+                        mangle: String => String = identity)
     extends AutoCloseable {
 
   val requests = new ConcurrentLinkedQueue[String]()       // query strings seen
@@ -60,7 +66,7 @@ final class LoopbackApi(rows: Seq[(String, String, Int, String)])
       requests.add(q)
       authHeaders.add(Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
       failures.poll() match {
-        case null => respond(x, 200, envelope(q))
+        case null => respond(x, 200, mangle(envelope(q)))
         case (status, retryAfterSec) =>
           retryAfterSec.foreach(s => x.getResponseHeaders.add("Retry-After", s.toString))
           respond(x, status, s"""{"error":$status}""")
@@ -116,6 +122,12 @@ object LoopbackApi {
 
   def withApi[T](f: LoopbackApi => T): T = {
     val api = new LoopbackApi(fixtureRows)
+    try f(api) finally api.close()
+  }
+
+  /** Like [[withApi]] but with an envelope-mangling rewrite installed. */
+  def withMangledApi[T](mangle: String => String)(f: LoopbackApi => T): T = {
+    val api = new LoopbackApi(fixtureRows, mangle)
     try f(api) finally api.close()
   }
 }

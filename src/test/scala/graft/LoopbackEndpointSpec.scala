@@ -44,6 +44,28 @@ class LoopbackEndpointSpec extends SparkSpec {
     }
   }
 
+  test("a malformed numeric cell is quarantined as null, not a task kill") {
+    // the endpoint serves "popularity":"n/a" for id3 (a live API drifting
+    // its payload shape); the reader must null that one field — the
+    // schema is nullable — and still deliver all 100 rows, instead of
+    // throwing NumberFormatException out of the partition and killing
+    // the whole scan. Same quarantine convention as ImageIoCodec for
+    // corrupt media payloads.
+    LoopbackApi.withMangledApi(
+        _.replace("\"popularity\":3,", "\"popularity\":\"n/a\",")) { api =>
+      val df = spark.read.format("graft.sources.paged.PagedSource")
+        .option("url", api.base).option("pageSize", 50).load()
+      val rows = df.collect()
+      assert(rows.length === 100, "the corrupt row must not kill the scan")
+      val corrupt = rows.filter(_.getString(0) == "id3")
+      assert(corrupt.length === 1 && corrupt.head.isNullAt(2),
+        "the malformed cell must surface as null")
+      val rest = rows.filter(_.getString(0) != "id3")
+      assert(rest.forall(!_.isNullAt(2)), "intact rows keep their values")
+      assert(rest.find(_.getString(0) == "id7").get.getInt(2) === 7)
+    }
+  }
+
   test("401 over the socket triggers token refresh and replay") {
     LoopbackApi.withApi { api =>
       val auth = new TokenProvider()
@@ -111,6 +133,36 @@ class LoopbackEndpointSpec extends SparkSpec {
     assert(Endpoint.hasTransport("http://h1/v1", 9.0, 6))
     assert(!Endpoint.hasTransport("http://h1/v1", 2.0, 4),
       "the old pacing must no longer be in force")
+  }
+
+  test("same-config transport() never touches a held bucket monitor") {
+    // the common case — every page reader of one scan arriving with the
+    // same options — must not queue behind a sibling thread that holds
+    // the bucket's monitor (ADVICE round 12: client() construction used
+    // to enter the synchronized reconfigure unconditionally). Hold the
+    // monitor from another thread and prove a same-config transport()
+    // call still completes; a regression re-introducing the lock would
+    // trip the 2s bound instead of hanging the suite.
+    val url = "http://h3/v1"
+    val b = Endpoint.transport(url, 2.0, 4).asInstanceOf[TokenBucketTransport]
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => b.synchronized {
+      held.countDown(); release.await()
+    })
+    holder.start(); held.await()
+    try {
+      val done = new java.util.concurrent.CountDownLatch(1)
+      @volatile var same = false
+      new Thread(() => {
+        same = Endpoint.transport(url, 2.0, 4) eq b
+        done.countDown()
+      }).start()
+      assert(done.await(2, java.util.concurrent.TimeUnit.SECONDS),
+        "same-config transport() must not block on the bucket monitor")
+      assert(same, "it must still return the endpoint's shared bucket")
+      assert(b.config === ((2.0, 4)), "config reads lock-free too")
+    } finally { release.countDown(); holder.join() }
   }
 
   test("reconfigure does not mint a free burst") {

@@ -184,4 +184,30 @@ class RestClientSpec extends AnyFunSuite {
     t.get("u", Map.empty); t.get("u", Map.empty)
     assert(clock.sleeps === List(500L, 500L))
   }
+
+  test("S3 rate-limit waits happen OUTSIDE the bucket monitor") {
+    // a thread sleeping for its token must not hold the instance lock:
+    // config reads, reconfigure, and sibling acquires would otherwise
+    // queue behind it for up to a full inter-token interval (ADVICE
+    // round 12). The clock seam observes lock state at the exact moment
+    // acquire() sleeps — deterministic, no racing threads needed.
+    var bucket: TokenBucketTransport = null
+    var heldDuringSleep = List.empty[Boolean]
+    val clock = new Clock {
+      var now = 0L
+      override def nowMs: Long = now
+      override def sleep(ms: Long): Unit = {
+        heldDuringSleep ::= Thread.holdsLock(bucket)
+        now += ms
+      }
+    }
+    bucket = new TokenBucketTransport(new Canned((200, "ok")),
+      ratePerSec = 2.0, burst = 1, clock = clock)
+    bucket.get("u", Map.empty); bucket.get("u", Map.empty) // second waits
+    assert(heldDuringSleep.nonEmpty, "the paced call must have slept")
+    assert(heldDuringSleep.forall(_ == false),
+      "acquire() must release the monitor before sleeping")
+    // and config is served by a volatile read — callable mid-anything
+    assert(bucket.config === ((2.0, 1)))
+  }
 }
