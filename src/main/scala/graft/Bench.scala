@@ -44,8 +44,83 @@ object Bench {
     }.filter(_.matches("[0-9a-f]{40}"))
   }
 
+  /** Machine-load covariate for adjudicating bench noise: /proc/loadavg's
+    * three averages. The d57/d58 rounds had to INFER "sustained VM
+    * disturbance" from run-shape across two fresh runs; a loadavg far
+    * above the worker count stamped INTO the history line makes the same
+    * call one-run evidence. None (serialized null) when unreadable
+    * (non-Linux). */
+  private[graft] def readLoadAvg(path: String = "/proc/loadavg"): Option[(Double, Double, Double)] =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8").trim.split("\\s+")
+      Some((parts(0).toDouble, parts(1).toDouble, parts(2).toDouble))
+    } catch { case _: Exception => None }
+
+  /** Cumulative steal ticks (field 8 of the aggregate `cpu` line in
+    * /proc/stat) — time the hypervisor ran OTHER tenants while this VM
+    * was runnable. A nonzero start→end delta is direct evidence of the
+    * noisy-neighbor mode loadavg can't see (loadavg counts our own
+    * demand; steal counts the host taking the CPU away). Raw cumulative
+    * value both times; readers difference them. */
+  private[graft] def readStealTicks(path: String = "/proc/stat"): Option[Long] =
+    try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+        .linesIterator.find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong)
+    } catch { case _: Exception => None }
+
+  /** One covariate snapshot as JSON — shape pinned by BenchHistorySpec. */
+  private[graft] def covariateJson(load: Option[(Double, Double, Double)],
+                                   steal: Option[Long]): String = {
+    val l = load.map { case (a, b, c) => s"[$a,$b,$c]" }.getOrElse("null")
+    s"""{"loadavg":$l,"steal_ticks":${steal.map(_.toString).getOrElse("null")}}"""
+  }
+
+  /** Best-effort numeric scale factor parsed from the testdata dir name
+    * (`…/sf0.1` → 0.1) so cross-round history filtering doesn't parse
+    * paths; None (serialized null) when the path has no `sf<number>`. */
+  private[graft] def sfNumber(dir: String): Option[Double] =
+    """sf([0-9]*\.?[0-9]+)""".r.findFirstMatchIn(dir)
+      .flatMap(m => m.group(1).toDoubleOption)
+
+  /** The BENCH_HISTORY line: provenance prefix (timestamp, git sha,
+    * same-JVM run index, start/end load covariates) spliced ahead of the
+    * stdout line's own fields. Shape pinned by BenchHistorySpec. */
+  private[graft] def historyLine(line: String, ts: String, sha: String,
+                                 jvmRun: Int, covStart: String,
+                                 covEnd: String): String =
+    s"""{"ts":"$ts","sha":"$sha","jvm_run":$jvmRun,""" +
+      s""""load_start":$covStart,"load_end":$covEnd,${line.drop(1)}"""
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // CLI: [sfDir] [--repeat N]. The positional dir overrides
+    // SPARK_GRAFT_SF_DIR; --repeat runs the whole suite N times in this
+    // one JVM, each run appending its own history line — the
+    // adjudication protocol's ">=2 fresh runs" as a single command.
+    // Repeats share the JVM (JIT/page-cache warm), which the history
+    // records via jvm_run so a reader never mistakes a warm repeat for
+    // a cold fresh invocation.
+    var dirArg: Option[String] = None
+    var repeat = 1
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--repeat" =>
+          require(i + 1 < args.length, "--repeat needs a count")
+          repeat = args(i + 1).toIntOption.getOrElse(
+            sys.error(s"--repeat must be an integer >= 1, got '${args(i + 1)}'"))
+          require(repeat >= 1, s"--repeat must be >= 1, got $repeat")
+          i += 2
+        case flag if flag.startsWith("--") => sys.error(s"unknown flag '$flag'")
+        case dir =>
+          require(dirArg.isEmpty, s"duplicate positional arg '$dir'")
+          dirArg = Some(dir); i += 1
+      }
+    }
+    val sfDir = dirArg.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val roundsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3")
     // validate up front: rounds=0 would print a perfect-looking 0.0 total
@@ -104,6 +179,15 @@ object Bench {
     // different query's timing in round k+1. Raw per-round samples are
     // kept in the JSON (chronological order) so a later reader can
     // adjudicate noise-vs-regression without re-running.
+    // --repeat: everything below (measurement rounds, diagnostic pass,
+    // line construction, BENCH_FULL overwrite, history append, stdout
+    // line) runs once per repeat, so each repeat is a complete,
+    // independently adjudicable bench run. Warm-up above runs once —
+    // repeat 1 is the cold-est run, later repeats are warmer, which the
+    // history's jvm_run index discloses.
+    for (jvmRun <- 1 to repeat) {
+    // load covariates bracket the run: read before the first timed round…
+    val covStart = covariateJson(readLoadAvg(), readStealTicks())
     val headlineOrdered = mode != "unordered"
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val samplesUnordered = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -178,7 +262,7 @@ object Bench {
     // unstripped minus failed: a query recorded as unstripped in an early
     // round but failing a later one would otherwise sit in two mutually
     // inconsistent cohorts (unstripped AND failed-with-no-samples).
-    val line = s"""{"metric":"total","unit":"sec","mode":"$mode","sf":"$sfDir","samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","mode":"$mode","sf":"$sfDir","sf_num":${sfNumber(sfDir).map(_.toString).getOrElse("null")},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(line) finally w.close()
@@ -190,11 +274,15 @@ object Bench {
     try {
       val w = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
       val sha = gitHeadSha().getOrElse("unknown")
-      try w.write(
-        s"""{"ts":"${java.time.Instant.now}","sha":"$sha",${line.drop(1)}""" + "\n")
+      // …and again after the last round: start vs end loadavg (and the
+      // steal-tick delta) shows whether a disturbance spanned the run
+      val covEnd = covariateJson(readLoadAvg(), readStealTicks())
+      try w.write(historyLine(line, java.time.Instant.now.toString, sha,
+        jvmRun, covStart, covEnd) + "\n")
       finally w.close()
     } catch { case _: Exception => () }
     println(line)
+    } // for jvmRun
     spark.stop()
   }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the BENCH_HISTORY provenance additions: the machine-load
+  * covariates (/proc/loadavg + /proc/stat steal ticks at run start and
+  * end), the numeric `sf_num`, the `jvm_run` repeat index, and the
+  * composed history-line shape. These exist so a VM-disturbance
+  * adjudication (the d57/d58 two-fresh-runs protocol) reads as one-run
+  * evidence straight off the history line — a shape drift would silently
+  * break every future adjudication, so the shape is spec-pinned. */
+class BenchHistorySpec extends AnyFunSuite {
+
+  private def tmpFile(content: String): String = {
+    val p = java.nio.file.Files.createTempFile("benchhist", ".txt")
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("readLoadAvg parses the three averages from a loadavg line") {
+    val p = tmpFile("0.52 1.10 2.00 1/123 4567\n")
+    assert(Bench.readLoadAvg(p) === Some((0.52, 1.10, 2.00)))
+  }
+
+  test("readLoadAvg is None on a missing or malformed file") {
+    assert(Bench.readLoadAvg("/no/such/file").isEmpty)
+    assert(Bench.readLoadAvg(tmpFile("not numbers here\n")).isEmpty)
+  }
+
+  test("readStealTicks takes field 8 of the aggregate cpu line") {
+    // cpu user nice system idle iowait irq softirq STEAL guest guest_nice
+    val p = tmpFile(
+      "cpu  100 0 50 1000 20 0 5 42 0 0\ncpu0 50 0 25 500 10 0 2 21 0 0\n")
+    assert(Bench.readStealTicks(p) === Some(42L))
+  }
+
+  test("readStealTicks is None when the cpu line is short or absent") {
+    assert(Bench.readStealTicks(tmpFile("cpu 1 2 3\n")).isEmpty)
+    assert(Bench.readStealTicks(tmpFile("intr 12345\n")).isEmpty)
+    assert(Bench.readStealTicks("/no/such/file").isEmpty)
+  }
+
+  test("the live /proc files are readable on the bench host") {
+    // the covariates only earn their keep on the machine the bench runs
+    // on — this suite runs there, so pin that both reads actually work
+    // (skipping silently on a non-Linux dev box)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get("/proc/loadavg"))) {
+      val load = Bench.readLoadAvg()
+      assert(load.isDefined, "/proc/loadavg must parse")
+      val (a, b, c) = load.get
+      assert(a >= 0 && b >= 0 && c >= 0)
+      assert(Bench.readStealTicks().exists(_ >= 0L), "/proc/stat must parse")
+    }
+  }
+
+  test("covariateJson shape: loadavg triple + steal ticks, null when absent") {
+    assert(JsonMethods.parse(Bench.covariateJson(Some((0.5, 0.25, 0.125)), Some(42L)))
+      === JsonMethods.parse("""{"loadavg":[0.5,0.25,0.125],"steal_ticks":42}"""))
+    assert(JsonMethods.parse(Bench.covariateJson(None, None))
+      === JsonMethods.parse("""{"loadavg":null,"steal_ticks":null}"""))
+  }
+
+  test("sfNumber parses the testdata dir's scale factor, None otherwise") {
+    assert(Bench.sfNumber("/root/testdata/sf0.1") === Some(0.1))
+    assert(Bench.sfNumber("/root/testdata/sf0.001") === Some(0.001))
+    assert(Bench.sfNumber("sf1") === Some(1.0))
+    assert(Bench.sfNumber("/tmp/data") === None)
+  }
+
+  test("historyLine splices provenance ahead of the bench line's fields") {
+    val benchLine =
+      """{"metric":"total","unit":"sec","sf_num":0.1,"value":1.5}"""
+    val cov = Bench.covariateJson(Some((1.0, 2.0, 3.0)), Some(7L))
+    val covEnd = Bench.covariateJson(Some((4.0, 5.0, 6.0)), Some(9L))
+    val parsed = JsonMethods.parse(Bench.historyLine(
+      benchLine, "2026-08-13T00:00:00Z", "a" * 40, 2, cov, covEnd))
+    assert(parsed \ "ts" === JString("2026-08-13T00:00:00Z"))
+    assert(parsed \ "sha" === JString("a" * 40))
+    assert(parsed \ "jvm_run" === JInt(2))
+    assert(parsed \ "load_start" \ "loadavg" === JArray(List(
+      JDouble(1.0), JDouble(2.0), JDouble(3.0))))
+    assert(parsed \ "load_start" \ "steal_ticks" === JInt(7))
+    assert(parsed \ "load_end" \ "steal_ticks" === JInt(9))
+    // the original line's verdict-bearing fields survive untouched
+    assert(parsed \ "metric" === JString("total"))
+    assert(parsed \ "sf_num" === JDouble(0.1))
+    assert(parsed \ "value" === JDouble(1.5))
+  }
+}
