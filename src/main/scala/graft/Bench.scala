@@ -94,14 +94,14 @@ object Bench {
     s"""{"ts":"$ts","sha":"$sha","jvm_run":$jvmRun,""" +
       s""""load_start":$covStart,"load_end":$covEnd,${line.drop(1)}"""
 
-  def main(args: Array[String]): Unit = {
-    // CLI: [sfDir] [--repeat N]. The positional dir overrides
-    // SPARK_GRAFT_SF_DIR; --repeat runs the whole suite N times in this
-    // one JVM, each run appending its own history line — the
-    // adjudication protocol's ">=2 fresh runs" as a single command.
-    // Repeats share the JVM (JIT/page-cache warm), which the history
-    // records via jvm_run so a reader never mistakes a warm repeat for
-    // a cold fresh invocation.
+  /** CLI parse: `[sfDir] [--repeat N]` → (positional dir, repeat count).
+    * The positional dir overrides SPARK_GRAFT_SF_DIR; --repeat runs the
+    * whole suite N times in this one JVM, each run appending its own
+    * history line — the adjudication protocol's ">=2 fresh runs" as a
+    * single command. Unknown flags, a missing/garbage count, and a
+    * duplicate positional fail loudly: a driver typo must never
+    * silently bench the wrong dir once. Pinned by BenchHistorySpec. */
+  private[graft] def parseArgs(args: Array[String]): (Option[String], Int) = {
     var dirArg: Option[String] = None
     var repeat = 1
     var i = 0
@@ -119,6 +119,14 @@ object Bench {
           dirArg = Some(dir); i += 1
       }
     }
+    (dirArg, repeat)
+  }
+
+  def main(args: Array[String]): Unit = {
+    // Repeats share the JVM (JIT/page-cache warm), which the history
+    // records via jvm_run so a reader never mistakes a warm repeat for
+    // a cold fresh invocation.
+    val (dirArg, repeat) = parseArgs(args)
     val sfDir = dirArg.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

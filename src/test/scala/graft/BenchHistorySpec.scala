@@ -69,6 +69,20 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(Bench.sfNumber("/tmp/data") === None)
   }
 
+  test("parseArgs: positional dir and --repeat compose; garbage fails loudly") {
+    assert(Bench.parseArgs(Array.empty) === ((None, 1)))
+    assert(Bench.parseArgs(Array("/data/sf1")) === ((Some("/data/sf1"), 1)))
+    assert(Bench.parseArgs(Array("--repeat", "3")) === ((None, 3)))
+    assert(Bench.parseArgs(Array("/d", "--repeat", "2")) === ((Some("/d"), 2)))
+    assert(Bench.parseArgs(Array("--repeat", "2", "/d")) === ((Some("/d"), 2)))
+    // a driver typo must never silently bench the wrong thing once
+    intercept[RuntimeException](Bench.parseArgs(Array("--repeat")))
+    intercept[RuntimeException](Bench.parseArgs(Array("--repeat", "zero")))
+    intercept[IllegalArgumentException](Bench.parseArgs(Array("--repeat", "0")))
+    intercept[RuntimeException](Bench.parseArgs(Array("--rounds", "3")))
+    intercept[IllegalArgumentException](Bench.parseArgs(Array("/a", "/b")))
+  }
+
   test("historyLine splices provenance ahead of the bench line's fields") {
     val benchLine =
       """{"metric":"total","unit":"sec","sf_num":0.1,"value":1.5}"""
