@@ -452,7 +452,11 @@ object DedupQueries {
     // back at ordered mins 2.41s/2.37s, unordered 1.98s/1.97s. That is
     // the sustained-VM-disturbance noise mode adjudicated for d57
     // below; same rule: adjudicate any future elevation from >=2
-    // history runs before touching the plan.
+    // history runs before touching the plan. Since round 13 the
+    // history lines carry load_start/load_end (loadavg + steal ticks)
+    // — read those FIRST: a steal delta or an out-of-profile loadavg
+    // is one-run evidence, and `Bench <dir> --repeat 2` runs the
+    // two-run protocol as a single command when covariates are clean.
     QueryDef("d58_blocked_composed",
       (s, dir) => bigramPairs(s, dir, Seq("lang")).orderBy("doc_a", "doc_b"),
       Some(duckBigramPairsSql(Seq("lang")))),
@@ -486,7 +490,9 @@ object DedupQueries {
     // matching this profile. That is the sustained-VM-disturbance noise
     // mode (hits all of a query's interleaved slots at once — the one
     // mode interleaving can't decorrelate); adjudicate any future
-    // elevation from >=2 history runs before touching the plan.
+    // elevation from >=2 history runs before touching the plan — and
+    // since round 13, check the history line's load_start/load_end
+    // covariates (loadavg + steal ticks) first; see the d58 note.
     QueryDef("d57_containment",
       (s, dir) => {
         val MAXDF = 25
