@@ -270,7 +270,7 @@ object Bench {
     // unstripped minus failed: a query recorded as unstripped in an early
     // round but failing a later one would otherwise sit in two mutually
     // inconsistent cohorts (unstripped AND failed-with-no-samples).
-    val line = s"""{"metric":"total","unit":"sec","mode":"$mode","sf":"$sfDir","sf_num":${sfNumber(sfDir).map(_.toString).getOrElse("null")},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","mode":"$mode","cpus":"$cpus","sf":"$sfDir","sf_num":${sfNumber(sfDir).map(_.toString).getOrElse("null")},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(line) finally w.close()
