@@ -12,7 +12,12 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // Emit the forked program's stdout verbatim (no sbt "[info] " prefix):
-// the driver parses Bench's one-line JSON from raw stdout.
+// the driver parses Bench's one-line JSON from raw stdout. That
+// one-line shape holds for the default invocation (no flags); with
+// `--repeat N` Bench prints one complete line PER repeat (each also
+// appended to BENCH_HISTORY.jsonl) and BENCH_FULL.json keeps the last
+// (warmest) repeat — a consumer of the repeat protocol must read the
+// history lines, not the overwritten file.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

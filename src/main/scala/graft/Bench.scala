@@ -85,6 +85,30 @@ object Bench {
     """sf([0-9]*\.?[0-9]+)""".r.findFirstMatchIn(dir)
       .flatMap(m => m.group(1).toDoubleOption)
 
+  /** Minimal JSON string encoder for values spliced into the hand-built
+    * bench line (the bench deliberately carries no JSON dependency).
+    * Escapes the two structural characters plus control chars, so an
+    * sfDir containing a quote or backslash yields a syntactically valid
+    * BENCH_FULL.json / history line instead of silently corrupt JSON. */
+  private[graft] def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  /** The bench line's leading provenance fields, extracted so the spec
+    * can pin two serialization contracts: `cpus` is a JSON NUMBER (the
+    * history tooling compares loadavg against it arithmetically; round-13
+    * lines carried it as a string, which tools/bench_history.py still
+    * accepts for back-compat) and `sf` survives a hostile path via
+    * [[jsonStr]]. `mode` is env-validated against a fixed safe set before
+    * this is called, so it splices bare. */
+  private[graft] def lineHead(mode: String, cpus: Int, sfDir: String): String =
+    s""""metric":"total","unit":"sec","mode":"$mode","cpus":$cpus,""" +
+      s""""sf":${jsonStr(sfDir)},"sf_num":${sfNumber(sfDir).map(_.toString).getOrElse("null")}"""
+
   /** The BENCH_HISTORY line: provenance prefix (timestamp, git sha,
     * same-JVM run index, start/end load covariates) spliced ahead of the
     * stdout line's own fields. Shape pinned by BenchHistorySpec. */
@@ -129,7 +153,13 @@ object Bench {
     val (dirArg, repeat) = parseArgs(args)
     val sfDir = dirArg.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // parsed up front: the history line serializes cpus as a JSON number
+    // (bench_history.py compares loadavg against it), and garbage would
+    // otherwise surface as an opaque failure inside SparkSession.builder
+    val cpusRaw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = cpusRaw.toIntOption.getOrElse(
+      sys.error(s"SPARK_GRAFT_CPUS must be an integer >= 1, got '$cpusRaw'"))
+    require(cpus >= 1, s"SPARK_GRAFT_CPUS must be >= 1, got $cpus")
     val roundsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3")
     // validate up front: rounds=0 would print a perfect-looking 0.0 total
     // with an empty query map, and garbage would die as a bare
@@ -149,7 +179,7 @@ object Bench {
       s"GRAFT_BENCH_MODE must be ordered|unordered|both, got '$mode'")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -270,7 +300,7 @@ object Bench {
     // unstripped minus failed: a query recorded as unstripped in an early
     // round but failing a later one would otherwise sit in two mutually
     // inconsistent cohorts (unstripped AND failed-with-no-samples).
-    val line = s"""{"metric":"total","unit":"sec","mode":"$mode","cpus":"$cpus","sf":"$sfDir","sf_num":${sfNumber(sfDir).map(_.toString).getOrElse("null")},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total}"""
+    val line = s"""{${lineHead(mode, cpus, sfDir)},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(line) finally w.close()

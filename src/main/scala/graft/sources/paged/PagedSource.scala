@@ -133,7 +133,14 @@ object Endpoint {
     // case (every page reader of one scan arriving with the same options)
     // must not queue behind a sibling's in-flight rate-limit wait — even
     // with acquire() sleeping outside the lock, entering the monitor here
-    // would serialize reader construction for no state change
+    // would serialize reader construction for no state change.
+    // Check-then-act caveat: under concurrent MIXED-config callers, a
+    // caller whose config matches the currently-installed value may skip
+    // reconfigure just as a different-config sibling overwrites it, so no
+    // interleaving is guaranteed to leave THIS caller's config installed.
+    // That stays inside the documented last-config-wins envelope (some
+    // caller's config is in force, pacing enforced throughout); only the
+    // per-caller "my reconfigure ran" reading is deliberately not promised.
     if (bucket.config != (ratePerSec -> burst))
       bucket.reconfigure(ratePerSec, burst)
     bucket

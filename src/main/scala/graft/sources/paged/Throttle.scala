@@ -58,7 +58,13 @@ class TokenBucketTransport(inner: HttpTransport, ratePerSec: Double = 2.0,
 
   /** Re-point the bucket at a new pacing (no-op when unchanged). Tokens
     * already accrued settle at the OLD rate first, then clamp to the new
-    * burst — switching rates never mints a free burst. */
+    * burst — switching rates never mints a free burst. A thread already
+    * asleep in acquire() keeps the wait it computed at the old rate, so
+    * after a switch to a FASTER rate it can oversleep by at most one old
+    * inter-token interval (1/oldRate sec) before re-checking under the
+    * lock; pacing is never violated, and the transient ends with that
+    * one wake. Bounded and accepted — slicing the sleep to react sooner
+    * isn't worth the extra wake-ups on the steady-state path. */
   def reconfigure(newRate: Double, newBurst: Int): Unit = synchronized {
     require(newRate > 0, s"ratePerSec must be positive, got $newRate")
     require(newBurst >= 1, s"burst must be at least 1, got $newBurst")

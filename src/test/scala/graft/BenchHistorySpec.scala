@@ -83,6 +83,31 @@ class BenchHistorySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bench.parseArgs(Array("/a", "/b")))
   }
 
+  test("jsonStr escapes quotes, backslashes, and control chars") {
+    assert(Bench.jsonStr("/root/testdata/sf0.1") === "\"/root/testdata/sf0.1\"")
+    assert(JsonMethods.parse(s"""{"sf":${Bench.jsonStr("a\"b\\c\nd")}}""")
+      \ "sf" === JString("a\"b\\c\nd"))
+  }
+
+  test("lineHead: cpus is a JSON number; a hostile sfDir stays valid JSON") {
+    // round-13 lines carried "cpus":"32" (string); the adjudication
+    // tooling compares loadavg against cpus arithmetically, so from
+    // round 14 the line carries a number — this test is the pin
+    val parsed = JsonMethods.parse(
+      "{" + Bench.lineHead("both", 32, "/root/testdata/sf0.1") + "}")
+    assert(parsed \ "cpus" === JInt(32))
+    assert(parsed \ "metric" === JString("total"))
+    assert(parsed \ "mode" === JString("both"))
+    assert(parsed \ "sf" === JString("/root/testdata/sf0.1"))
+    assert(parsed \ "sf_num" === JDouble(0.1))
+    // a dir with JSON structural chars must round-trip, not corrupt the line
+    val hostile = JsonMethods.parse(
+      "{" + Bench.lineHead("ordered", 8, "/tmp/we\"ird\\dir") + "}")
+    assert(hostile \ "cpus" === JInt(8))
+    assert(hostile \ "sf" === JString("/tmp/we\"ird\\dir"))
+    assert(hostile \ "sf_num" === JNull)
+  }
+
   test("historyLine splices provenance ahead of the bench line's fields") {
     val benchLine =
       """{"metric":"total","unit":"sec","sf_num":0.1,"value":1.5}"""

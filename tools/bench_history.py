@@ -12,9 +12,29 @@ those before believing any elevation — a nonzero steal delta or a
 loadavg far above the worker count is the disturbance on record (see
 the d57/d58 notes in DedupQueries.scala for the adjudication rule).
 Runs predating round 13 show '-' for fields their lines don't carry.
+
+The trailing `!` column marks a run as NON-COMPARABLE — do not use it
+as a cross-round anchor or regression evidence. A run is flagged when
+either covariate exceeds its threshold:
+
+  * steal delta > SUSPECT_STEAL_DELTA (400 ticks = 4 stolen
+    core-seconds). Calibrated on the round-13 record: headlines stayed
+    in the ~58s band up to delta 366 and were visibly elevated at
+    delta 564 (70.2s) and delta 1531 (74.2s); 400 splits the observed
+    gap between the last clean and first disturbed run.
+  * 1-minute loadavg at run start or end > the run's `cpus` (worker
+    count): the host owed more runnable threads than the bench had
+    workers, so timings include queueing that is not the plan's cost.
+    Skipped when the line predates the `cpus` field.
+
+Runs missing the covariates entirely (pre-round-13) print '-' and are
+not flagged — absence of evidence is shown as absence, not as a pass.
 """
 import json
 import sys
+
+# Non-comparable thresholds — rationale in the module docstring above.
+SUSPECT_STEAL_DELTA = 400
 
 
 def load(path="BENCH_HISTORY.jsonl"):
@@ -33,47 +53,74 @@ def fmt(v, spec="{:.2f}"):
     return spec.format(v) if v is not None else "-"
 
 
+def steal_delta(d):
+    _, s0 = cov(d, "load_start")
+    _, s1 = cov(d, "load_end")
+    return s1 - s0 if s0 is not None and s1 is not None else None
+
+
+def cpu_count(d):
+    # round-13 lines carried cpus as a JSON string ("32"); later lines
+    # carry a number — accept both, None when absent/garbage
+    try:
+        return int(d.get("cpus"))
+    except (TypeError, ValueError):
+        return None
+
+
+def non_comparable(d):
+    """'!' when a covariate says this run is not a usable anchor."""
+    sd = steal_delta(d)
+    if sd is not None and sd > SUSPECT_STEAL_DELTA:
+        return "!"
+    cpus = cpu_count(d)
+    if cpus is not None:
+        for key in ("load_start", "load_end"):
+            l1m, _ = cov(d, key)
+            if l1m is not None and l1m > cpus:
+                return "!"
+    return ""
+
+
 def summary(runs):
     hdr = ("ts", "sha", "run", "cpus", "sf", "mode", "value_s", "fail",
-           "load1m_s", "load1m_e", "steal_d")
+           "load1m_s", "load1m_e", "steal_d", "!")
     print(("{:<20} {:<8} {:>3} {:>4} {:>6} {:<9} {:>8} {:>4} "
-           "{:>8} {:>8} {:>7}").format(*hdr))
+           "{:>8} {:>8} {:>7} {:<1}").format(*hdr))
     for d in runs:
-        l0, s0 = cov(d, "load_start")
-        l1, s1 = cov(d, "load_end")
-        steal_d = s1 - s0 if s0 is not None and s1 is not None else None
+        l0, _ = cov(d, "load_start")
+        l1, _ = cov(d, "load_end")
         print(("{:<20} {:<8} {:>3} {:>4} {:>6} {:<9} {:>8} {:>4} "
-               "{:>8} {:>8} {:>7}").format(
+               "{:>8} {:>8} {:>7} {:<1}").format(
             d.get("ts", "-")[:19],
             d.get("sha", "-")[:8],
             str(d.get("jvm_run", "-")),
-            d.get("cpus", "-"),
+            str(d.get("cpus", "-")),
             fmt(d.get("sf_num"), "{:g}"),
             d.get("mode", "-"),
             fmt(d.get("value"), "{:.1f}"),
             len(d.get("failed", [])),
-            fmt(l0), fmt(l1), fmt(steal_d, "{:d}")))
+            fmt(l0), fmt(l1), fmt(steal_delta(d), "{:d}"),
+            non_comparable(d)))
 
 
 def one_query(runs, q):
-    print("{:<20} {:<8} {:>6} {:>8} {:>9} {:>7}  {}".format(
-        "ts", "sha", "sf", "min_s", "unord_s", "steal_d", "samples"))
+    print("{:<20} {:<8} {:>6} {:>8} {:>9} {:>7} {:<1}  {}".format(
+        "ts", "sha", "sf", "min_s", "unord_s", "steal_d", "!", "samples"))
     for d in runs:
         samples = (d.get("samples") or {}).get(q)
         if samples is None and q not in (d.get("queries") or {}):
             continue
-        _, s0 = cov(d, "load_start")
-        _, s1 = cov(d, "load_end")
-        steal_d = s1 - s0 if s0 is not None and s1 is not None else None
         unord = (d.get("unordered") or {}).get(q)
         qmin = (d.get("queries") or {}).get(q)
-        print("{:<20} {:<8} {:>6} {:>8} {:>9} {:>7}  {}".format(
+        print("{:<20} {:<8} {:>6} {:>8} {:>9} {:>7} {:<1}  {}".format(
             d.get("ts", "-")[:19],
             d.get("sha", "-")[:8],
             fmt(d.get("sf_num"), "{:g}"),
             fmt(qmin),
             fmt(unord),
-            fmt(steal_d, "{:d}"),
+            fmt(steal_delta(d), "{:d}"),
+            non_comparable(d),
             "[" + ", ".join("{:.2f}".format(s) for s in samples) + "]"
             if samples else "-"))
 
