@@ -457,6 +457,9 @@ object DedupQueries {
     // — read those FIRST: a steal delta or an out-of-profile loadavg
     // is one-run evidence, and `Bench <dir> --repeat 2` runs the
     // two-run protocol as a single command when covariates are clean.
+    // Since round 14 tools/bench_history.py applies the thresholds
+    // itself: a trailing `!` marks a run as non-comparable, so start
+    // triage from the rendered table, not from remembered numbers.
     QueryDef("d58_blocked_composed",
       (s, dir) => bigramPairs(s, dir, Seq("lang")).orderBy("doc_a", "doc_b"),
       Some(duckBigramPairsSql(Seq("lang")))),
