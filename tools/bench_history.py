@@ -125,9 +125,33 @@ def one_query(runs, q):
             if samples else "-"))
 
 
+def selftest():
+    """Pin the non-comparable thresholds (python3 tools/bench_history.py
+    --selftest). The steal branch is exercised by the real round-13/14
+    history; the load branch has never fired on real lines (loadavg
+    stayed far under 32), so without this it would be dead code with an
+    unverified comparison direction."""
+    def line(steal_d=0, l1m_s=1.0, l1m_e=1.0, cpus=32):
+        return {"cpus": cpus,
+                "load_start": {"loadavg": [l1m_s, 0, 0], "steal_ticks": 1000},
+                "load_end": {"loadavg": [l1m_e, 0, 0],
+                             "steal_ticks": 1000 + steal_d}}
+    assert non_comparable(line()) == ""
+    assert non_comparable(line(steal_d=SUSPECT_STEAL_DELTA)) == ""      # > not >=
+    assert non_comparable(line(steal_d=SUSPECT_STEAL_DELTA + 1)) == "!"
+    assert non_comparable(line(l1m_s=33.0)) == "!"                     # start
+    assert non_comparable(line(l1m_e=32.5)) == "!"                     # end
+    assert non_comparable(line(l1m_s=32.0)) == ""                      # > not >=
+    assert non_comparable(line(l1m_s=99.0, cpus="notanint")) == ""     # no cpus -> skip load test
+    assert non_comparable(line(steal_d=9999, cpus="8")) == "!"         # string cpus accepted
+    assert non_comparable({"cpus": 32}) == ""                          # pre-covariate line
+    print("selftest OK")
+
+
 if __name__ == "__main__":
-    runs = load()
-    if len(sys.argv) > 1:
-        one_query(runs, sys.argv[1])
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
+    elif len(sys.argv) > 1:
+        one_query(load(), sys.argv[1])
     else:
-        summary(runs)
+        summary(load())
