@@ -78,6 +78,34 @@ object Bench {
     s"""{"loadavg":$l,"steal_ticks":${steal.map(_.toString).getOrElse("null")}}"""
   }
 
+  /** The non-comparable steal bar, shared with tools/bench_history.py's
+    * SUSPECT_STEAL_DELTA (keep the two in sync — the tool's selftest and
+    * BenchHistorySpec each pin their own copy at 400). Calibration
+    * rationale lives in the tool's module docstring. */
+  private[graft] val SuspectStealDelta = 400L
+
+  /** Start→end stolen ticks; None unless both endpoints were readable. */
+  private[graft] def stealDeltaOf(s0: Option[Long], s1: Option[Long]): Option[Long] =
+    for (a <- s0; b <- s1) yield b - a
+
+  /** The run's own verdict on whether it is usable as a cross-round
+    * anchor, mirroring tools/bench_history.py `non_comparable`: flagged
+    * when the steal delta exceeds [[SuspectStealDelta]] or the 1-minute
+    * loadavg at either endpoint exceeds the worker count. None
+    * (serialized null) when NO covariate was readable — unknown is not
+    * clean. With partial covariates the readable ones adjudicate (same
+    * as the tool: absence of one covariate never flags, and never
+    * launders a dirty reading on the other). */
+  private[graft] def nonComparable(cpus: Int,
+                                   loadStart: Option[(Double, Double, Double)],
+                                   loadEnd: Option[(Double, Double, Double)],
+                                   stealD: Option[Long]): Option[Boolean] =
+    if (loadStart.isEmpty && loadEnd.isEmpty && stealD.isEmpty) None
+    else Some(
+      stealD.exists(_ > SuspectStealDelta) ||
+        loadStart.exists(_._1 > cpus) ||
+        loadEnd.exists(_._1 > cpus))
+
   /** Best-effort numeric scale factor parsed from the testdata dir name
     * (`…/sf0.1` → 0.1) so cross-round history filtering doesn't parse
     * paths; None (serialized null) when the path has no `sf<number>`. */
@@ -99,24 +127,45 @@ object Bench {
     } + "\""
 
   /** The bench line's leading provenance fields, extracted so the spec
-    * can pin two serialization contracts: `cpus` is a JSON NUMBER (the
+    * can pin the serialization contracts: `cpus` is a JSON NUMBER (the
     * history tooling compares loadavg against it arithmetically; round-13
     * lines carried it as a string, which tools/bench_history.py still
-    * accepts for back-compat) and `sf` survives a hostile path via
-    * [[jsonStr]]. `mode` is env-validated against a fixed safe set before
-    * this is called, so it splices bare. */
-  private[graft] def lineHead(mode: String, cpus: Int, sfDir: String): String =
+    * accepts for back-compat), `sf` survives a hostile path via
+    * [[jsonStr]], and — since round 15 — the load covariates ride in the
+    * line ITSELF (`load_start`/`load_end`, same keys the history splice
+    * used through round 14, so the tooling reads either vintage
+    * unchanged) instead of only in BENCH_HISTORY.jsonl. `mode` is
+    * env-validated against a fixed safe set before this is called, so it
+    * splices bare. */
+  private[graft] def lineHead(mode: String, cpus: Int, sfDir: String,
+                              covStart: String, covEnd: String): String =
     s""""metric":"total","unit":"sec","mode":"$mode","cpus":$cpus,""" +
-      s""""sf":${jsonStr(sfDir)},"sf_num":${sfNumber(sfDir).map(_.toString).getOrElse("null")}"""
+      s""""sf":${jsonStr(sfDir)},"sf_num":${sfNumber(sfDir).map(_.toString).getOrElse("null")},""" +
+      s""""load_start":$covStart,"load_end":$covEnd"""
+
+  /** The line's trailing self-adjudication fields — the computed steal
+    * delta and [[nonComparable]] verdict. These go AFTER `value`, at the
+    * very end of the line, because the driver's per-round artifact keeps
+    * only the line's TAIL: round 14's BENCH_r14.json (106.1s at steal
+    * delta 4436) carried no visible steal evidence and read as a 2x
+    * regression until cross-referenced against BENCH_HISTORY.jsonl by
+    * timestamp. With these two fields tail-most, any truncation that
+    * preserves the headline also preserves the flag that says whether
+    * the headline is comparable. */
+  private[graft] def verdictFields(stealD: Option[Long],
+                                   noncmp: Option[Boolean]): String =
+    s""""steal_delta":${stealD.map(_.toString).getOrElse("null")},""" +
+      s""""noncomparable":${noncmp.map(_.toString).getOrElse("null")}"""
 
   /** The BENCH_HISTORY line: provenance prefix (timestamp, git sha,
-    * same-JVM run index, start/end load covariates) spliced ahead of the
-    * stdout line's own fields. Shape pinned by BenchHistorySpec. */
+    * same-JVM run index) spliced ahead of the stdout line's own fields.
+    * Through round 14 this also spliced the load covariates; they now
+    * live in the bench line itself (see [[lineHead]]) under the same
+    * top-level keys, so history lines of either vintage parse
+    * identically. Shape pinned by BenchHistorySpec. */
   private[graft] def historyLine(line: String, ts: String, sha: String,
-                                 jvmRun: Int, covStart: String,
-                                 covEnd: String): String =
-    s"""{"ts":"$ts","sha":"$sha","jvm_run":$jvmRun,""" +
-      s""""load_start":$covStart,"load_end":$covEnd,${line.drop(1)}"""
+                                 jvmRun: Int): String =
+    s"""{"ts":"$ts","sha":"$sha","jvm_run":$jvmRun,${line.drop(1)}"""
 
   /** CLI parse: `[sfDir] [--repeat N]` → (positional dir, repeat count).
     * The positional dir overrides SPARK_GRAFT_SF_DIR; --repeat runs the
@@ -225,7 +274,9 @@ object Bench {
     // history's jvm_run index discloses.
     for (jvmRun <- 1 to repeat) {
     // load covariates bracket the run: read before the first timed round…
-    val covStart = covariateJson(readLoadAvg(), readStealTicks())
+    val loadStart = readLoadAvg()
+    val stealStart = readStealTicks()
+    val covStart = covariateJson(loadStart, stealStart)
     val headlineOrdered = mode != "unordered"
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val samplesUnordered = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -263,6 +314,15 @@ object Bench {
         }
       }
     }
+    // …and again after the last measured pass, bracketing everything the
+    // line's numbers came from: start vs end loadavg (and the steal-tick
+    // delta) shows whether a disturbance spanned the run, and the run
+    // self-adjudicates via the same thresholds the history tooling uses.
+    val loadEnd = readLoadAvg()
+    val stealEnd = readStealTicks()
+    val covEnd = covariateJson(loadEnd, stealEnd)
+    val stealD = stealDeltaOf(stealStart, stealEnd)
+    val noncmp = nonComparable(cpus, loadStart, loadEnd, stealD)
     val headlineSamples = if (headlineOrdered) samples else samplesUnordered
     val best = queries.collect {
       case (name, _) if headlineSamples.contains(name) =>
@@ -294,13 +354,18 @@ object Bench {
       else best.map(_._2).sum
     // Field order is deliberate: the per-round artifact keeps only the
     // TAIL of this line, so the bulk diagnostics (samples, unordered)
-    // come first and the headline (queries, failed, value) comes last —
-    // truncation eats diagnostics before it eats the verdict-bearing
-    // fields. The untruncated line also lands in BENCH_FULL.json.
+    // come first and the verdict-bearing fields come last — truncation
+    // eats diagnostics before it eats the verdict. Tail-most of all are
+    // the run's self-adjudication fields (steal_delta, noncomparable),
+    // so a capture that keeps the headline `value` also keeps the flag
+    // saying whether that value is comparable (the round-14 lesson: a
+    // 106.1s capture at steal delta 4436 read as a 2x regression until
+    // cross-referenced against the history file by hand). The
+    // untruncated line also lands in BENCH_FULL.json.
     // unstripped minus failed: a query recorded as unstripped in an early
     // round but failing a later one would otherwise sit in two mutually
     // inconsistent cohorts (unstripped AND failed-with-no-samples).
-    val line = s"""{${lineHead(mode, cpus, sfDir)},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total}"""
+    val line = s"""{${lineHead(mode, cpus, sfDir, covStart, covEnd)},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total,${verdictFields(stealD, noncmp)}}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(line) finally w.close()
@@ -312,11 +377,8 @@ object Bench {
     try {
       val w = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
       val sha = gitHeadSha().getOrElse("unknown")
-      // …and again after the last round: start vs end loadavg (and the
-      // steal-tick delta) shows whether a disturbance spanned the run
-      val covEnd = covariateJson(readLoadAvg(), readStealTicks())
       try w.write(historyLine(line, java.time.Instant.now.toString, sha,
-        jvmRun, covStart, covEnd) + "\n")
+        jvmRun) + "\n")
       finally w.close()
     } catch { case _: Exception => () }
     println(line)

@@ -93,28 +93,90 @@ class BenchHistorySpec extends AnyFunSuite {
     // round-13 lines carried "cpus":"32" (string); the adjudication
     // tooling compares loadavg against cpus arithmetically, so from
     // round 14 the line carries a number — this test is the pin
+    val cov0 = Bench.covariateJson(Some((1.0, 2.0, 3.0)), Some(7L))
+    val cov1 = Bench.covariateJson(Some((4.0, 5.0, 6.0)), Some(9L))
     val parsed = JsonMethods.parse(
-      "{" + Bench.lineHead("both", 32, "/root/testdata/sf0.1") + "}")
+      "{" + Bench.lineHead("both", 32, "/root/testdata/sf0.1", cov0, cov1) + "}")
     assert(parsed \ "cpus" === JInt(32))
     assert(parsed \ "metric" === JString("total"))
     assert(parsed \ "mode" === JString("both"))
     assert(parsed \ "sf" === JString("/root/testdata/sf0.1"))
     assert(parsed \ "sf_num" === JDouble(0.1))
+    // round 15: the covariates ride in the line itself, under the SAME
+    // top-level keys the round-13/14 history splice used — the history
+    // tooling must keep reading both vintages unchanged
+    assert(parsed \ "load_start" \ "loadavg" === JArray(List(
+      JDouble(1.0), JDouble(2.0), JDouble(3.0))))
+    assert(parsed \ "load_start" \ "steal_ticks" === JInt(7))
+    assert(parsed \ "load_end" \ "steal_ticks" === JInt(9))
     // a dir with JSON structural chars must round-trip, not corrupt the line
     val hostile = JsonMethods.parse(
-      "{" + Bench.lineHead("ordered", 8, "/tmp/we\"ird\\dir") + "}")
+      "{" + Bench.lineHead("ordered", 8, "/tmp/we\"ird\\dir", cov0, cov1) + "}")
     assert(hostile \ "cpus" === JInt(8))
     assert(hostile \ "sf" === JString("/tmp/we\"ird\\dir"))
     assert(hostile \ "sf_num" === JNull)
   }
 
+  test("stealDeltaOf differences the endpoints, None unless both readable") {
+    assert(Bench.stealDeltaOf(Some(100L), Some(142L)) === Some(42L))
+    assert(Bench.stealDeltaOf(None, Some(142L)) === None)
+    assert(Bench.stealDeltaOf(Some(100L), None) === None)
+  }
+
+  test("nonComparable mirrors the history tool's thresholds") {
+    val quiet = Some((1.0, 1.0, 1.0))
+    // clean on every covariate -> comparable
+    assert(Bench.nonComparable(32, quiet, quiet, Some(0L)) === Some(false))
+    // steal bar is strict >, matching SUSPECT_STEAL_DELTA's selftest pin
+    assert(Bench.nonComparable(32, quiet, quiet,
+      Some(Bench.SuspectStealDelta)) === Some(false))
+    assert(Bench.nonComparable(32, quiet, quiet,
+      Some(Bench.SuspectStealDelta + 1)) === Some(true))
+    // 1-minute loadavg above the worker count at EITHER endpoint flags
+    assert(Bench.nonComparable(32, Some((33.0, 0.0, 0.0)), quiet,
+      Some(0L)) === Some(true))
+    assert(Bench.nonComparable(32, quiet, Some((32.5, 0.0, 0.0)),
+      Some(0L)) === Some(true))
+    assert(Bench.nonComparable(32, Some((32.0, 0.0, 0.0)), quiet,
+      Some(0L)) === Some(false)) // > not >=
+    // partial covariates: the readable ones adjudicate
+    assert(Bench.nonComparable(32, None, None, Some(9999L)) === Some(true))
+    assert(Bench.nonComparable(32, Some((40.0, 0.0, 0.0)), None, None)
+      === Some(true))
+    // nothing readable -> None (unknown is not clean)
+    assert(Bench.nonComparable(32, None, None, None) === None)
+  }
+
+  test("verdictFields serialize tail-most as number/boolean, null when unknown") {
+    assert(JsonMethods.parse("{" + Bench.verdictFields(Some(42L), Some(false)) + "}")
+      === JsonMethods.parse("""{"steal_delta":42,"noncomparable":false}"""))
+    assert(JsonMethods.parse("{" + Bench.verdictFields(None, None) + "}")
+      === JsonMethods.parse("""{"steal_delta":null,"noncomparable":null}"""))
+    // the composed line shape: verdict fields AFTER value, so any tail
+    // truncation that keeps the headline keeps its comparability flag
+    val line = s"""{${Bench.lineHead("both", 32, "/d/sf1",
+      Bench.covariateJson(None, Some(0L)),
+      Bench.covariateJson(None, Some(500L)))},"value":1.5,${
+      Bench.verdictFields(Some(500L), Some(true))}}"""
+    val tail = line.substring(line.indexOf("\"value\""))
+    assert(tail === """"value":1.5,"steal_delta":500,"noncomparable":true}""")
+    val parsed = JsonMethods.parse(line)
+    assert(parsed \ "steal_delta" === JInt(500))
+    assert(parsed \ "noncomparable" === JBool(true))
+  }
+
   test("historyLine splices provenance ahead of the bench line's fields") {
+    // the covariates are part of the bench line itself since round 15;
+    // the splice adds only ts/sha/jvm_run (old lines with spliced
+    // load_start/load_end keep the same top-level keys, so readers
+    // handle both vintages identically)
     val benchLine =
-      """{"metric":"total","unit":"sec","sf_num":0.1,"value":1.5}"""
-    val cov = Bench.covariateJson(Some((1.0, 2.0, 3.0)), Some(7L))
-    val covEnd = Bench.covariateJson(Some((4.0, 5.0, 6.0)), Some(9L))
+      """{"metric":"total","unit":"sec","sf_num":0.1,""" +
+        """"load_start":{"loadavg":[1.0,2.0,3.0],"steal_ticks":7},""" +
+        """"load_end":{"loadavg":[4.0,5.0,6.0],"steal_ticks":9},""" +
+        """"value":1.5,"steal_delta":2,"noncomparable":false}"""
     val parsed = JsonMethods.parse(Bench.historyLine(
-      benchLine, "2026-08-13T00:00:00Z", "a" * 40, 2, cov, covEnd))
+      benchLine, "2026-08-13T00:00:00Z", "a" * 40, 2))
     assert(parsed \ "ts" === JString("2026-08-13T00:00:00Z"))
     assert(parsed \ "sha" === JString("a" * 40))
     assert(parsed \ "jvm_run" === JInt(2))
@@ -126,5 +188,7 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(parsed \ "metric" === JString("total"))
     assert(parsed \ "sf_num" === JDouble(0.1))
     assert(parsed \ "value" === JDouble(1.5))
+    assert(parsed \ "steal_delta" === JInt(2))
+    assert(parsed \ "noncomparable" === JBool(false))
   }
 }

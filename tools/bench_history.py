@@ -29,6 +29,15 @@ either covariate exceeds its threshold:
 
 Runs missing the covariates entirely (pre-round-13) print '-' and are
 not flagged — absence of evidence is shown as absence, not as a pass.
+
+Round-15 bench lines self-adjudicate: they carry `steal_delta` and a
+computed `noncomparable` boolean tail-most in the line itself (and the
+covariates under the same load_start/load_end keys the round-13/14
+history splice used). When those explicit fields are present they are
+read directly; older lines fall back to computing both from the
+covariates. `--file PATH` points the tool at a different line file —
+e.g. `--file BENCH_FULL.json` adjudicates the most recent run's own
+artifact without the history.
 """
 import json
 import sys
@@ -54,6 +63,12 @@ def fmt(v, spec="{:.2f}"):
 
 
 def steal_delta(d):
+    # round-15+ lines carry the delta explicitly (tail-most, so even a
+    # truncated capture keeps it); older lines get it computed from the
+    # covariate endpoints
+    sd = d.get("steal_delta")
+    if isinstance(sd, int):
+        return sd
     _, s0 = cov(d, "load_start")
     _, s1 = cov(d, "load_end")
     return s1 - s0 if s0 is not None and s1 is not None else None
@@ -69,7 +84,15 @@ def cpu_count(d):
 
 
 def non_comparable(d):
-    """'!' when a covariate says this run is not a usable anchor."""
+    """'!' when a covariate says this run is not a usable anchor.
+
+    A round-15+ line's own `noncomparable` verdict (computed in-run by
+    Bench.nonComparable against the same thresholds) is authoritative
+    when present and boolean; `null` (no covariate was readable) and
+    older lines fall through to computing from the covariates."""
+    nc = d.get("noncomparable")
+    if isinstance(nc, bool):
+        return "!" if nc else ""
     sd = steal_delta(d)
     if sd is not None and sd > SUSPECT_STEAL_DELTA:
         return "!"
@@ -145,13 +168,34 @@ def selftest():
     assert non_comparable(line(l1m_s=99.0, cpus="notanint")) == ""     # no cpus -> skip load test
     assert non_comparable(line(steal_d=9999, cpus="8")) == "!"         # string cpus accepted
     assert non_comparable({"cpus": 32}) == ""                          # pre-covariate line
+    # round-15 self-adjudicating lines: the explicit fields are read
+    # directly — a boolean verdict wins even when the covariates would
+    # say otherwise (the in-run computation saw the same data the line
+    # carries; a disagreement means the line was hand-edited), and an
+    # explicit steal_delta wins over differencing the endpoints
+    assert non_comparable(dict(line(), noncomparable=True)) == "!"
+    assert non_comparable(dict(line(steal_d=9999), noncomparable=False)) == ""
+    assert non_comparable(dict(line(steal_d=9999), noncomparable=None)) == "!"  # null -> compute
+    assert steal_delta(dict(line(steal_d=7), steal_delta=123)) == 123
+    assert steal_delta(line(steal_d=7)) == 7
+    assert steal_delta(dict(line(steal_d=7), steal_delta=None)) == 7   # null -> compute
     print("selftest OK")
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+    args = sys.argv[1:]
+    # --file PATH: adjudicate another line file (e.g. BENCH_FULL.json —
+    # same shape as a history line minus the ts/sha/jvm_run splice)
+    path = "BENCH_HISTORY.jsonl"
+    if "--file" in args:
+        i = args.index("--file")
+        if i + 1 >= len(args):
+            sys.exit("--file needs a path")
+        path = args[i + 1]
+        del args[i:i + 2]
+    if args and args[0] == "--selftest":
         selftest()
-    elif len(sys.argv) > 1:
-        one_query(load(), sys.argv[1])
+    elif args:
+        one_query(load(path), args[0])
     else:
-        summary(load())
+        summary(load(path))
