@@ -23,7 +23,16 @@ import graft.sources.paged.{HttpTransport, TokenBucketTransport}
   *    bucket refills on currentTimeMillis (1ms granularity, wall
   *    clock) while the spec measures nanoTime (monotonic). A genuine
   *    double-spend at these parameters would land near HALF the ideal
-  *    elapsed — an order of magnitude outside the slack.
+  *    elapsed — an order of magnitude outside the slack. One seam the
+  *    slack does NOT cover: a FORWARD wall-clock step (NTP slew/jump)
+  *    larger than ~54ms landing inside the ~0.44s run would mint
+  *    tokens early against the monotonic measurement and fail the
+  *    lower bound spuriously. Accepted residual risk rather than
+  *    injecting a monotonic Clock seam into production code for a
+  *    test-only concern: steps that large mid-run are rare, the
+  *    failure mode is loud (not a silent pass), and a failure that
+  *    vanishes on re-run during a known clock adjustment reads as
+  *    exactly what it is.
   *  - joins carry a 30s timeout so a deadlocked bucket fails the suite
   *    instead of hanging it. Nominal runtime ~0.5s.
   */
