@@ -27,8 +27,29 @@ either covariate exceeds its threshold:
     workers, so timings include queueing that is not the plan's cost.
     Skipped when the line predates the `cpus` field.
 
-Runs missing the covariates entirely (pre-round-13) print '-' and are
-not flagged — absence of evidence is shown as absence, not as a pass.
+Runs missing the covariates entirely (pre-round-13) print '-' in the
+covariate columns, but are still eligible for a SECONDARY flag: the
+within-run dispersion of each query's own samples. A catastrophic
+disturbance leaves order-of-magnitude swings across the SAME query's
+interleaved rounds (the round-14 driver capture read q14 at
+56.2/0.36/0.21s — ratio 265 — and d53 at 175.7/4.5/2.4s in one run).
+A pre-covariate line is flagged when at least
+SUSPECT_DISPERSION_COUNT queries with all samples >=
+DISPERSION_MIN_SEC disperse beyond SUSPECT_DISPERSION_RATIO.
+
+The ratio bar is calibrated on the full history: benign first-round
+JIT/codegen warm-up reaches 5-9x on a couple of queries in every cold
+run, and up to 12.9x when steal was provably high, while the one
+catastrophic capture shows four queries at 24.6-264.9x — 20 sits
+2x above the worst benign reading and below the catastrophic
+cluster. Two limits, disclosed rather than papered over: (a) a
+DIFFUSE elevation (round 13's uniform 1.37x geomean at steal 1531)
+does not disperse within-run and stays undetectable without
+covariates — for that mode, absence of evidence still prints as
+absence; (b) warm-up and disturbance are not separable near the bar,
+so a mild disturbance confined to round 1 reads as warm-up. Lines
+that carry covariates never use this fallback — the covariates are
+direct evidence and adjudicate alone.
 
 Round-15 bench lines self-adjudicate: they carry `steal_delta` and a
 computed `noncomparable` boolean tail-most in the line itself (and the
@@ -44,6 +65,13 @@ import sys
 
 # Non-comparable thresholds — rationale in the module docstring above.
 SUSPECT_STEAL_DELTA = 400
+# Dispersion fallback for pre-covariate lines (docstring above):
+# max/min across one query's own samples, floored to skip sub-200ms
+# queries whose ratios are timer noise, needing two such queries so a
+# single JIT deopt can't flag a whole run.
+SUSPECT_DISPERSION_RATIO = 20.0
+SUSPECT_DISPERSION_COUNT = 2
+DISPERSION_MIN_SEC = 0.2
 
 
 def load(path="BENCH_HISTORY.jsonl"):
@@ -83,16 +111,38 @@ def cpu_count(d):
         return None
 
 
+def has_covariates(d):
+    """True when the line carries any direct load evidence."""
+    if isinstance(d.get("steal_delta"), int):
+        return True
+    return any(v is not None for key in ("load_start", "load_end")
+               for v in cov(d, key))
+
+
+def dispersed(d):
+    """Secondary evidence for pre-covariate lines: enough queries whose
+    own interleaved samples swing past the dispersion ratio."""
+    wild = 0
+    for s in (d.get("samples") or {}).values():
+        if len(s) >= 2 and min(s) >= DISPERSION_MIN_SEC \
+                and max(s) / min(s) > SUSPECT_DISPERSION_RATIO:
+            wild += 1
+    return wild >= SUSPECT_DISPERSION_COUNT
+
+
 def non_comparable(d):
     """'!' when a covariate says this run is not a usable anchor.
 
     A round-15+ line's own `noncomparable` verdict (computed in-run by
     Bench.nonComparable against the same thresholds) is authoritative
     when present and boolean; `null` (no covariate was readable) and
-    older lines fall through to computing from the covariates."""
+    older lines fall through to computing from the covariates. Lines
+    with no covariates at all fall back to within-run dispersion."""
     nc = d.get("noncomparable")
     if isinstance(nc, bool):
         return "!" if nc else ""
+    if not has_covariates(d):
+        return "!" if dispersed(d) else ""
     sd = steal_delta(d)
     if sd is not None and sd > SUSPECT_STEAL_DELTA:
         return "!"
@@ -179,6 +229,25 @@ def selftest():
     assert steal_delta(dict(line(steal_d=7), steal_delta=123)) == 123
     assert steal_delta(line(steal_d=7)) == 7
     assert steal_delta(dict(line(steal_d=7), steal_delta=None)) == 7   # null -> compute
+    # dispersion fallback: only for lines with NO covariates at all
+    calm = [1.0, 1.1, 1.0]
+    wild = [10.0, 0.4, 0.4]                    # ratio 25, all above floor
+    warm = [9.0, 1.0, 1.0]                     # worst observed benign warm-up shape
+    tiny = [0.15, 0.001]                       # wild ratio but sub-floor
+    bar = [SUSPECT_DISPERSION_RATIO, 1.0]      # exactly at the bar
+    assert dispersed({"samples": {"a": wild, "b": wild}})
+    assert not dispersed({"samples": {"a": wild, "b": calm}})          # count 2
+    assert not dispersed({"samples": {"a": warm, "b": warm}})          # warm-up clears
+    assert not dispersed({"samples": {"a": tiny, "b": tiny}})          # floor
+    assert not dispersed({"samples": {"a": bar, "b": bar}})            # > not >=
+    assert non_comparable({"samples": {"a": wild, "b": wild}}) == "!"
+    assert non_comparable({"samples": {"a": wild, "b": calm}}) == ""
+    # direct covariate evidence wins over dispersion in BOTH directions:
+    # clean covariates keep a dispersed run comparable, and a boolean
+    # verdict keeps its line authoritative regardless of samples
+    assert non_comparable(dict(line(), samples={"a": wild, "b": wild})) == ""
+    assert non_comparable({"samples": {"a": wild, "b": wild},
+                           "noncomparable": False}) == ""
     print("selftest OK")
 
 
@@ -193,9 +262,17 @@ if __name__ == "__main__":
             sys.exit("--file needs a path")
         path = args[i + 1]
         del args[i:i + 2]
-    if args and args[0] == "--selftest":
-        selftest()
-    elif args:
-        one_query(load(path), args[0])
-    else:
-        summary(load(path))
+    try:
+        if args and args[0] == "--selftest":
+            selftest()
+        elif args:
+            one_query(load(path), args[0])
+        else:
+            summary(load(path))
+    except BrokenPipeError:
+        # downstream |head closed the pipe mid-print — normal, not an
+        # error; swap stdout for devnull so interpreter teardown doesn't
+        # print a second traceback trying to flush
+        import os
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        sys.exit(0)
