@@ -59,6 +59,24 @@ read directly; older lines fall back to computing both from the
 covariates. `--file PATH` points the tool at a different line file —
 e.g. `--file BENCH_FULL.json` adjudicates the most recent run's own
 artifact without the history.
+
+`--compare TS1 TS2` (unique ts prefixes) answers the question the
+covariates alone cannot: when a run's headline is elevated even though
+its steal delta is inside the clean bar, is the elevation DIFFUSE
+(roughly uniform across unrelated queries) or CONCENTRATED (a few
+specific plans)? Steal ticks only count CPU-scheduling contention — a
+neighbor tenant saturating shared memory bandwidth or LLC slows every
+query without minting a single steal tick. That mode showed up on
+2026-08-13: runs at steal delta 44-91 read ~58-60s against the 52.4s
+anchor, with 92% of the 74 queries elevated >5% and the top ratios
+spread across unrelated families — shared-resource contention, not a
+plan change (no benched plan had changed). A genuine code or plan
+regression does the opposite: it moves the specific queries whose
+plans changed and leaves the rest at ratio ~1. The classification bars
+(>=70% of queries elevated >1.05 = diffuse; any query >=1.5x with a
+median <=1.05 = concentrated) are calibrated on that session plus the
+round-14 record; queries under 50ms in the BASE run are excluded as
+timer noise.
 """
 import json
 import sys
@@ -72,6 +90,11 @@ SUSPECT_STEAL_DELTA = 400
 SUSPECT_DISPERSION_RATIO = 20.0
 SUSPECT_DISPERSION_COUNT = 2
 DISPERSION_MIN_SEC = 0.2
+# --compare classification bars (rationale in the module docstring):
+COMPARE_MIN_SEC = 0.05      # base-run floor; faster queries are timer noise
+COMPARE_ELEVATED = 1.05     # a query counts as elevated past this ratio
+COMPARE_DIFFUSE_FRAC = 0.7  # fraction elevated => DIFFUSE (environmental)
+COMPARE_CONCENTRATED = 1.5  # any query past this with a calm median => CONCENTRATED
 
 
 def load(path="BENCH_HISTORY.jsonl"):
@@ -198,6 +221,65 @@ def one_query(runs, q):
             if samples else "-"))
 
 
+def pick(runs, ts_prefix):
+    hits = [d for d in runs if d.get("ts", "").startswith(ts_prefix)]
+    if len(hits) != 1:
+        sys.exit("ts prefix {!r} matches {} runs (need exactly 1)"
+                 .format(ts_prefix, len(hits)))
+    return hits[0]
+
+
+def query_mins(d):
+    """Per-query best-of-samples — min is the standard noise-resistant
+    statistic here (same convention as Bench's own `queries` field)."""
+    out = {q: min(s) for q, s in (d.get("samples") or {}).items() if s}
+    for q, v in (d.get("queries") or {}).items():   # pre-samples lines
+        out.setdefault(q, v)
+    return out
+
+
+def classify(ratios):
+    """DIFFUSE / CONCENTRATED / comparable, from per-query ratios."""
+    if not ratios:
+        return "no common queries"
+    med = sorted(ratios)[len(ratios) // 2]
+    frac = sum(1 for r in ratios if r > COMPARE_ELEVATED) / len(ratios)
+    if frac >= COMPARE_DIFFUSE_FRAC and med > COMPARE_ELEVATED:
+        return ("DIFFUSE elevation ({:.0%} of queries > {:g}x, median "
+                "{:.2f}x) — environmental (shared-resource contention is "
+                "steal-invisible), not a plan change"
+                .format(frac, COMPARE_ELEVATED, med))
+    if med <= COMPARE_ELEVATED and max(ratios) >= COMPARE_CONCENTRATED:
+        return ("CONCENTRATED elevation (median {:.2f}x but max {:.2f}x) "
+                "— suspect the listed plans".format(med, max(ratios)))
+    return "comparable (median {:.2f}x)".format(med)
+
+
+def compare(runs, ts_a, ts_b, top=10):
+    a, b = pick(runs, ts_a), pick(runs, ts_b)
+    for tag, d in (("base", a), ("cand", b)):
+        print("{}: {} sha={} value={} steal_d={} {}".format(
+            tag, d.get("ts", "-")[:19], d.get("sha", "-")[:8],
+            fmt(d.get("value"), "{:.1f}"), fmt(steal_delta(d), "{:d}"),
+            non_comparable(d)))
+    ma, mb = query_mins(a), query_mins(b)
+    rows = sorted(((mb[q] / ma[q], q, ma[q], mb[q])
+                   for q in set(ma) & set(mb)
+                   if ma[q] >= COMPARE_MIN_SEC), reverse=True)
+    if not rows:
+        print("no common queries above the {:.0f}ms floor"
+              .format(COMPARE_MIN_SEC * 1000))
+        return
+    print("{:<32} {:>7} {:>7} {:>6}".format("query", "base_s", "cand_s",
+                                            "ratio"))
+    for r, q, x, y in rows[:top]:
+        print("{:<32} {:>7.2f} {:>7.2f} {:>5.2f}x".format(q, x, y, r))
+    ratios = [r for r, _, _, _ in rows]
+    print("n={} sum {:.1f}s -> {:.1f}s; {}".format(
+        len(rows), sum(x for _, _, x, _ in rows),
+        sum(y for _, _, _, y in rows), classify(ratios)))
+
+
 def selftest():
     """Pin the non-comparable thresholds (python3 tools/bench_history.py
     --selftest). The steal branch is exercised by the real round-13/14
@@ -248,6 +330,22 @@ def selftest():
     assert non_comparable(dict(line(), samples={"a": wild, "b": wild})) == ""
     assert non_comparable({"samples": {"a": wild, "b": wild},
                            "noncomparable": False}) == ""
+    # --compare classification: the three verdicts and their bars
+    diffuse = [1.13] * 9 + [1.02]             # 90% elevated, median 1.13
+    conc = [1.0] * 9 + [COMPARE_CONCENTRATED]  # one hot plan, calm median
+    calm_r = [1.0, 1.01, 0.99]
+    edge = [1.2] * 6 + [1.0] * 4              # 60% elevated < 70% bar
+    assert classify(diffuse).startswith("DIFFUSE")
+    assert classify(conc).startswith("CONCENTRATED")
+    assert classify(calm_r).startswith("comparable")
+    assert classify(edge).startswith("comparable")   # frac bar is >=
+    assert classify([]) == "no common queries"
+    # query_mins: min-of-samples, pre-samples `queries` fallback, and
+    # the floor exclusion happens in compare (not here)
+    assert query_mins({"samples": {"a": [2.0, 1.0]}}) == {"a": 1.0}
+    assert query_mins({"queries": {"a": 3.0}}) == {"a": 3.0}
+    assert query_mins({"samples": {"a": [1.0]}, "queries": {"a": 9.9,
+                      "b": 2.0}}) == {"a": 1.0, "b": 2.0}
     print("selftest OK")
 
 
@@ -265,6 +363,10 @@ if __name__ == "__main__":
     try:
         if args and args[0] == "--selftest":
             selftest()
+        elif args and args[0] == "--compare":
+            if len(args) != 3:
+                sys.exit("--compare needs two ts prefixes")
+            compare(load(path), args[1], args[2])
         elif args:
             one_query(load(path), args[0])
         else:
