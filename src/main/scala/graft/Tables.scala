@@ -27,14 +27,21 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** Events table. The driver's parquet stores `ts` as TIMESTAMP(NANOS),
-    * which Spark's parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
-    * We read nanos as a raw long (`spark.sql.legacy.parquet.nanosAsLong`) —
-    * a DELIBERATELY session-wide setting, not scoped-and-restored: the
-    * flag is consulted again at scan execution, after this method returns,
-    * so restoring it early would break the very read it enables. Every
-    * loader in this engine goes through this object, and the flag only
-    * affects NANOS-typed columns (all other tables are unaffected).
+  /** Events table. The driver's parquet has stored `ts` two ways across
+    * testdata generations, and this loader normalizes both to one schema:
+    *   - TIMESTAMP(NANOS), which Spark's parquet reader rejects outright
+    *     ([PARQUET_TYPE_ILLEGAL]). We read nanos as a raw long
+    *     (`spark.sql.legacy.parquet.nanosAsLong`) — a DELIBERATELY
+    *     session-wide setting, not scoped-and-restored: the flag is
+    *     consulted again at scan execution, after this method returns, so
+    *     restoring it early would break the very read it enables. Every
+    *     loader in this engine goes through this object, and the flag only
+    *     affects NANOS-typed columns (all other tables are unaffected).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    *     TIMESTAMP_NTZ. Epoch micros come from a wall-clock `timestampdiff`
+    *     against the NTZ epoch — pure calendar arithmetic, no session-
+    *     timezone dependency — which equals DuckDB's `epoch_us(ts)` on the
+    *     same naive value. (A tz-adjusted TIMESTAMP read is `unix_micros`.)
     * We expose:
     *   - `ts_us`  long   — event time in microseconds since epoch (exact;
     *                        all window/bucket math is done on this so a
@@ -45,8 +52,16 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val raw = table(spark, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000") // NANOS vintage, read as raw nanos
+      case TimestampNTZType => expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+      case TimestampType    => unix_micros(col("ts"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — testdata generation changed again?")
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
