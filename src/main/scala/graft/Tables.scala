@@ -55,7 +55,15 @@ object Tables {
     val raw = table(spark, dir, "events")
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val tsUs = raw.schema("ts").dataType match {
-      case LongType         => expr("ts div 1000") // NANOS vintage, read as raw nanos
+      case LongType =>
+        // A raw-long ts is EITHER the NANOS vintage (surfaced as long only
+        // because of nanosAsLong above) OR a plain INT64 column in unknown
+        // units — Spark's logical schema cannot tell them apart, so a
+        // micros- or millis-INT64 regeneration would be silently mis-scaled
+        // 1000x by the division below. Confirm TIMESTAMP(NANOS) from the
+        // parquet footer (a metadata-only read, no data scan) before scaling.
+        requireNanosTs(spark, s"$dir/events.parquet")
+        expr("ts div 1000") // NANOS vintage, read as raw nanos
       case TimestampNTZType => expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
       case TimestampType    => unix_micros(col("ts"))
       case other => throw new IllegalStateException(
@@ -63,6 +71,44 @@ object Tables {
     }
     raw.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Assert from the parquet footer that `ts` is logically TIMESTAMP(NANOS).
+    * Only consulted on the raw-long read path above; costs one footer read
+    * (kilobytes of metadata from one file), never a data scan. Handles both
+    * a single-file `events.parquet` (the driver's layout) and a Spark-written
+    * directory of part files (the spec fixtures).
+    */
+  private def requireNanosTs(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p    = new HPath(path)
+    val fs   = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .getOrElse(throw new IllegalStateException(s"no parquet part files under $path"))
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val ann =
+      try reader.getFooter.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+        .asPrimitiveType().getLogicalTypeAnnotation
+      finally reader.close()
+    val isNanos = ann match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+      case _ => false
+    }
+    if (!isNanos) throw new IllegalStateException(
+      s"events.ts reads as raw long but its parquet logical type is " +
+        s"${Option(ann).map(_.toString).getOrElse("none (plain INT64)")}, not " +
+        "TIMESTAMP(NANOS) — refusing `div 1000`, which would mis-scale a " +
+        "micros/millis INT64 by 1000x. Testdata generation changed again; " +
+        "extend Tables.events for the new vintage deliberately.")
   }
 
   /** All base tables keyed by name (events via the nanos-safe loader). */

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.Row
+import org.scalatest.BeforeAndAfterAll
 
 /** Pins `Tables.events`' vintage detection: the driver's testdata has
   * stored `ts` as TIMESTAMP(NANOS) (readable only as a raw nanos long
@@ -17,8 +17,16 @@ import org.apache.spark.sql.Row
   * output; without this, only the vintage currently in /root/testdata
   * gets exercised and the others rot until the next regeneration flips
   * the type back.
+  *
+  * The NANOS fixture is written with parquet-mr directly
+  * (ExampleParquetWriter) because Spark cannot WRITE TIMESTAMP(NANOS) —
+  * and a genuine NANOS footer is now load-bearing: `Tables.events`
+  * verifies the footer's logical type before dividing a raw long by
+  * 1000, so a hand-faked plain-INT64 file no longer impersonates the
+  * NANOS vintage (that exact impersonation is the mis-scale hazard the
+  * footer check exists to refuse — pinned by the last test here).
   */
-class TablesSpec extends SparkSpec {
+class TablesSpec extends SparkSpec with BeforeAndAfterAll {
 
   // 2001-09-09T01:46:40Z plus 123456 us: exercises sub-second precision.
   private val EpochUs = 1000000000000000L + 123456L
@@ -33,16 +41,63 @@ class TablesSpec extends SparkSpec {
     assert(row.getLong(1) === EpochUs, "normalized ts must hold the same micros")
   }
 
+  private val tmpDirs = scala.collection.mutable.Buffer.empty[java.io.File]
+
   private def tmp(name: String): String = {
     val d = Files.createTempDirectory(s"tables-spec-$name").toFile
-    d.deleteOnExit()
+    tmpDirs += d
     d.getAbsolutePath
   }
 
-  test("long-vintage ts (raw nanos, the NANOS-parquet read) divides to micros") {
-    val dir = tmp("long")
-    spark.range(1).select(lit(EpochUs * 1000L).as("ts"), lit(7L).as("user_id"))
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  // deleteOnExit cannot clean these (it only removes EMPTY directories,
+  // and every test writes a parquet tree inside) — delete recursively.
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    try tmpDirs.foreach(rm)
+    finally super.afterAll()
+  }
+
+  /** Write `{dir}/events.parquet/` with ts as true TIMESTAMP(NANOS,NTZ) —
+    * the one physical shape Spark can read (as raw long, under
+    * nanosAsLong) but not write.
+    */
+  private def writeNanosParquet(dir: String, tsNanos: Long): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+    val schema = Types.buildMessage()
+      .optional(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .optional(INT64).named("user_id")
+      .named("spark_schema")
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter
+      .builder(new HPath(s"$dir/events.parquet/part-00000.parquet"))
+      .withConf(conf)
+      .withType(schema)
+      .build()
+    try {
+      val g = new SimpleGroupFactory(schema).newGroup()
+      g.add("ts", tsNanos)
+      g.add("user_id", 7L)
+      w.write(g)
+    } finally w.close()
+  }
+
+  test("NANOS-vintage ts (raw-long read) passes the footer check and divides to micros") {
+    val dir = tmp("nanos")
+    writeNanosParquet(dir, EpochUs * 1000L)
+    // the file must actually surface as a raw long, or this pins nothing
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      === LongType)
     assertNormalized(dir)
   }
 
@@ -68,6 +123,16 @@ class TablesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
       === TimestampType)
     assertNormalized(dir)
+  }
+
+  test("a plain-INT64 ts is refused instead of mis-scaled 1000x") {
+    // Looks identical to the NANOS vintage in Spark's logical schema
+    // (LongType either way); only the footer check can tell them apart.
+    val dir = tmp("int64")
+    spark.range(1).select(lit(EpochUs).as("ts"), lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("not TIMESTAMP(NANOS)"))
   }
 
   test("an unrecognized ts type fails loudly instead of mis-deriving ts_us") {

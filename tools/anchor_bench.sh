@@ -26,6 +26,23 @@
 # Run `tools/anchor_bench.sh --selftest` to exercise all of it with
 # stub bench commands (no sbt, no sleeps).
 #
+# Two-tier acceptance (round 16). The strict rule above ("one attempt
+# whose own two repeats are both <= CLEAN_TICKS") is the primary path,
+# but round 15 showed it can starve on a host that is never quite that
+# quiet: 4 attempts over 27 windows, best pair d147/d71, and the anchor
+# stood only via a hand-written README argument over ten comparable
+# runs. That argument is now encoded as the COHORT fallback: accept
+# when >= ANCHOR_COHORT_N (default 5) history lines appended DURING
+# THIS SESSION at the current HEAD sha are self-adjudicated comparable
+# (noncomparable: false, i.e. steal delta <= 400 by the
+# tools/bench_history.py calibration) AND land inside the documented
+# anchor band [ANCHOR_BAND_LO, ANCHOR_BAND_HI] (default 49-55 s, the
+# README's ~50-54 s band with reading margin; override when the band is
+# re-anchored). The session scoping (line count snapshotted at launch)
+# keeps stale lines out, the sha check keeps foreign code out, and the
+# output names which rule fired — "DONE (strict ...)" vs
+# "DONE (cohort ...)" — so the provenance of every anchor is explicit.
+#
 # Usage: tools/anchor_bench.sh [sfDir]   (default /root/testdata/sf0.1)
 # Keep the machine otherwise idle: your own load does not create steal,
 # but it does land in the loadavg covariate and in the timings.
@@ -37,6 +54,11 @@ SF_DIR="${1:-/root/testdata/sf0.1}"
 # the selftest can force the never-quiet path without faking /proc/stat
 QUIET_TICKS="${ANCHOR_QUIET_TICKS:-30}"
 CLEAN_TICKS=100  # per recorded run (the VERDICT bar for an anchor)
+# Cohort fallback knobs (see header). Band defaults track the README's
+# documented ~50-54 s anchor band with ~1 s reading margin on each side.
+COHORT_N="${ANCHOR_COHORT_N:-5}"
+BAND_LO="${ANCHOR_BAND_LO:-49}"
+BAND_HI="${ANCHOR_BAND_HI:-55}"
 # Env-overridable so the selftest can run the real loop fast with stub
 # commands; production runs use the defaults.
 MAX_ATTEMPTS="${ANCHOR_MAX_ATTEMPTS:-4}"
@@ -92,9 +114,41 @@ print("OK" if all(x <= bar for x in ds) else "DIRTY", ds)
 EOF
 }
 
+# cohort <session-start-line-count>: the fallback acceptance. Counts
+# lines appended since script launch whose sha matches HEAD, that are
+# self-adjudicated comparable, and whose total lands inside the band.
+# Prints "COHORT ..." when >= COHORT_N qualify, else "NOCOHORT ...".
+cohort() {
+  python3 - "$COHORT_N" "$BAND_LO" "$BAND_HI" "$1" "$(head_sha)" "$HIST" <<'EOF'
+import json, sys
+need = int(sys.argv[1]); lo, hi = float(sys.argv[2]), float(sys.argv[3])
+n0, sha, path = int(sys.argv[4]), sys.argv[5], sys.argv[6]
+try:
+    raw = open(path).read().splitlines()
+except FileNotFoundError:
+    raw = []
+rows = [json.loads(l) for l in raw[n0:] if l.strip()]
+def comparable(d):
+    if "noncomparable" in d:            # round-15+ self-adjudicating line
+        return d["noncomparable"] is False
+    try:                                 # pre-round-15 shape: same 400-tick
+        return d["load_end"]["steal_ticks"] - d["load_start"]["steal_ticks"] <= 400
+    except Exception:
+        return False
+ok = [d for d in rows
+      if (sha == "unknown" or d.get("sha") in (sha, "unknown"))
+      and comparable(d)
+      and isinstance(d.get("value"), (int, float)) and lo <= d["value"] <= hi]
+vals = [round(d["value"], 1) for d in ok]
+tag = "COHORT" if len(ok) >= need else "NOCOHORT"
+print(f"{tag} {len(ok)}/{need} comparable in-band session lines {vals} (band [{lo}, {hi}], sha {sha[:8]})")
+EOF
+}
+
 main() {
   attempts=0
   windows=0
+  n_session=$(hist_lines)
   while [ "$attempts" -lt "$MAX_ATTEMPTS" ] && [ "$windows" -lt "$MAX_WINDOWS" ]; do
     windows=$((windows + 1))
     s0=$(awk '/^cpu /{print $9}' /proc/stat)
@@ -114,7 +168,14 @@ main() {
       fi
       ok=$(accept "$n0")
       echo "$(date -u +%FT%TZ) attempt $attempts result: $ok"
-      case "$ok" in OK*) echo DONE; exit 0;; esac
+      case "$ok" in OK*)
+        echo "DONE (strict: one attempt, both repeats <= $CLEAN_TICKS ticks)"; exit 0;;
+      esac
+      co=$(cohort "$n_session")
+      echo "$(date -u +%FT%TZ) cohort check: $co"
+      case "$co" in COHORT*)
+        echo "DONE (cohort: >=$COHORT_N comparable in-band lines this session)"; exit 0;;
+      esac
     fi
   done
   echo "GAVE UP after $attempts bench attempts / $windows windows"
@@ -173,6 +234,29 @@ if [ "${1:-}" = "--selftest" ]; then
   # pre-round-15 line shape (covariate endpoints, no steal_delta field)
   rc=$(run_case "$t/o7" "printf '{\"sha\":\"%s\",\"load_start\":{\"steal_ticks\":10},\"load_end\":{\"steal_ticks\":20}}\n' '$sha' '$sha' >> '$H'")
   check "covariate-endpoint lines still adjudicate" 0 "$rc" "$t/o7" "OK \[10, 10\]" "STALE"
+
+  # cohort fallback: lines too dirty for the strict rule (delta 200 >
+  # CLEAN_TICKS) but self-adjudicated comparable and in-band accumulate
+  # across attempts to an acceptance that names the cohort rule
+  rc=$(ANCHOR_COHORT_N=4 run_case "$t/o9" "printf '{\"sha\":\"%s\",\"steal_delta\":200,\"noncomparable\":false,\"value\":52.0}\n' '$sha' '$sha' >> '$H'")
+  check "cohort: comparable in-band lines accumulate to acceptance" 0 "$rc" "$t/o9" \
+    "DONE (cohort" "DONE (strict"
+
+  rc=$(ANCHOR_COHORT_N=4 run_case "$t/o10" "printf '{\"sha\":\"%s\",\"steal_delta\":200,\"noncomparable\":false,\"value\":70.0}\n' '$sha' '$sha' >> '$H'")
+  check "cohort: out-of-band totals never qualify" 2 "$rc" "$t/o10" \
+    "NOCOHORT 0/4" "DONE"
+
+  rc=$(ANCHOR_COHORT_N=4 run_case "$t/o11" "printf '{\"sha\":\"%s\",\"steal_delta\":500,\"noncomparable\":true,\"value\":52.0}\n' '$sha' '$sha' >> '$H'")
+  check "cohort: noncomparable lines never qualify even in-band" 2 "$rc" "$t/o11" \
+    "NOCOHORT 0/4" "DONE"
+
+  # five fully-qualifying lines seeded BEFORE launch must not count:
+  # the cohort is session-scoped by construction
+  for _ in 1 2 3 4 5; do
+    printf '{"sha":"%s","steal_delta":10,"noncomparable":false,"value":52.0}\n' "$sha" >> "$H"
+  done
+  rc=$(ANCHOR_COHORT_N=4 run_case "$t/o12" "true")
+  check "cohort ignores pre-session lines" 2 "$rc" "$t/o12" "NOCOHORT 0/4" "DONE"
 
   # a host that is NEVER quiet must terminate at the window bound, not
   # poll forever (QUIET_TICKS=0 makes every window fail the gate)
