@@ -77,6 +77,18 @@ plans changed and leaves the rest at ratio ~1. The classification bars
 median <=1.05 = concentrated) are calibrated on that session plus the
 round-14 record; queries under 50ms in the BASE run are excluded as
 timer noise.
+
+The base side accepts a COHORT, not just one run: `--compare TS1
+[TS2 ...] CAND` uses the per-query minimum across all listed base runs,
+and `--compare --band SHA CAND` builds the cohort from every comparable
+(non-`!`) run whose sha starts with SHA. Rationale: a single base run
+carries its own jitter — one query reading fast by chance in the base
+mints a false CONCENTRATED verdict against a perfectly normal
+candidate. The cohort floor is the honest "this code has run this
+fast" base; a query still elevated against the minimum of N runs is
+elevated against everything the band ever showed (the round-15 d57
+case fires either way — 6.4s vs 19 in-band runs — which is exactly
+the discrimination wanted).
 """
 import json
 import sys
@@ -255,14 +267,44 @@ def classify(ratios):
     return "comparable (median {:.2f}x)".format(med)
 
 
-def compare(runs, ts_a, ts_b, top=10):
-    a, b = pick(runs, ts_a), pick(runs, ts_b)
-    for tag, d in (("base", a), ("cand", b)):
-        print("{}: {} sha={} value={} steal_d={} {}".format(
-            tag, d.get("ts", "-")[:19], d.get("sha", "-")[:8],
+def cohort_mins(runs):
+    """Per-query min across a base cohort (union of queries; min over
+    the runs that carry each)."""
+    out = {}
+    for d in runs:
+        for q, v in query_mins(d).items():
+            if q not in out or v < out[q]:
+                out[q] = v
+    return out
+
+
+def band_runs(runs, sha_prefix):
+    """All comparable (non-'!') runs at a sha — the --band base cohort."""
+    hits = [d for d in runs
+            if d.get("sha", "").startswith(sha_prefix)
+            and non_comparable(d) == ""]
+    if not hits:
+        sys.exit("--band {!r}: no comparable runs at that sha"
+                 .format(sha_prefix))
+    return hits
+
+
+def compare(runs, base_specs, ts_b, band=None, top=10):
+    bases = band_runs(runs, band) if band is not None \
+        else [pick(runs, t) for t in base_specs]
+    b = pick(runs, ts_b)
+    for d in bases:
+        print("base: {} sha={} value={} steal_d={} {}".format(
+            d.get("ts", "-")[:19], d.get("sha", "-")[:8],
             fmt(d.get("value"), "{:.1f}"), fmt(steal_delta(d), "{:d}"),
             non_comparable(d)))
-    ma, mb = query_mins(a), query_mins(b)
+    if len(bases) > 1:
+        print("base cohort: {} runs, per-query min".format(len(bases)))
+    print("cand: {} sha={} value={} steal_d={} {}".format(
+        b.get("ts", "-")[:19], b.get("sha", "-")[:8],
+        fmt(b.get("value"), "{:.1f}"), fmt(steal_delta(b), "{:d}"),
+        non_comparable(b)))
+    ma, mb = cohort_mins(bases), query_mins(b)
     rows = sorted(((mb[q] / ma[q], q, ma[q], mb[q])
                    for q in set(ma) & set(mb)
                    if ma[q] >= COMPARE_MIN_SEC), reverse=True)
@@ -346,6 +388,19 @@ def selftest():
     assert query_mins({"queries": {"a": 3.0}}) == {"a": 3.0}
     assert query_mins({"samples": {"a": [1.0]}, "queries": {"a": 9.9,
                       "b": 2.0}}) == {"a": 1.0, "b": 2.0}
+    # base-cohort compare: per-query min across runs (union of queries);
+    # --band keeps only comparable lines at the sha and refuses an
+    # empty cohort instead of comparing against nothing
+    r1 = {"sha": "aaa1", "samples": {"a": [2.0, 1.0], "b": [5.0]}}
+    r2 = {"sha": "aaa2", "queries": {"a": 0.5}}
+    dirty = dict(r2, noncomparable=True)
+    assert cohort_mins([r1, r2]) == {"a": 0.5, "b": 5.0}
+    assert band_runs([r1, dirty, r2], "aaa") == [r1, r2]
+    try:
+        band_runs([dirty], "aaa")
+        raise AssertionError("empty band must exit")
+    except SystemExit:
+        pass
     print("selftest OK")
 
 
@@ -364,9 +419,16 @@ if __name__ == "__main__":
         if args and args[0] == "--selftest":
             selftest()
         elif args and args[0] == "--compare":
-            if len(args) != 3:
-                sys.exit("--compare needs two ts prefixes")
-            compare(load(path), args[1], args[2])
+            rest = args[1:]
+            if rest and rest[0] == "--band":
+                if len(rest) != 3:
+                    sys.exit("--compare --band SHA_PREFIX CAND_TS")
+                compare(load(path), [], rest[2], band=rest[1])
+            elif len(rest) >= 2:
+                compare(load(path), rest[:-1], rest[-1])
+            else:
+                sys.exit("--compare needs base ts prefix(es) — or "
+                         "--band SHA_PREFIX — plus a candidate ts")
         elif args:
             one_query(load(path), args[0])
         else:
