@@ -43,6 +43,16 @@
 # output names which rule fired — "DONE (strict ...)" vs
 # "DONE (cohort ...)" — so the provenance of every anchor is explicit.
 #
+# Cohort arithmetic on a cold-boot host (observed 2026-08-14): a fresh
+# VM's jvm_run-1 lines can read 59-61 s at CLEAN steal — out of band —
+# while the warm jvm_run-2 returns to band. At the defaults
+# (ANCHOR_MAX_ATTEMPTS=4, two lines per attempt, only warm lines
+# qualifying) the cohort can top out at 4 < ANCHOR_COHORT_N=5 and
+# mathematically never fire. If strict acceptance is also starving,
+# raise ANCHOR_MAX_ATTEMPTS (and ANCHOR_MAX_WINDOWS) so warm lines can
+# accumulate; do NOT widen the band to admit cold lines — a cold-repeat
+# headline is not anchor evidence (README, round-16 note).
+#
 # Usage: tools/anchor_bench.sh [sfDir]   (default /root/testdata/sf0.1)
 # Keep the machine otherwise idle: your own load does not create steal,
 # but it does land in the loadavg covariate and in the timings.
