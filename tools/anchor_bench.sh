@@ -93,11 +93,18 @@ run_bench() {
 
 # accept <lines-before-attempt>: OK only when exactly 2 new lines were
 # appended by this attempt, their sha matches HEAD, and both carry a
-# clean steal delta. Prints OK/STALE/DIRTY plus the evidence.
+# clean steal delta. Prints OK/STALE/DIRTY plus the evidence, and on OK
+# also where the values sit relative to the documented band: a strict
+# acceptance is deliberately band-blind (it anchors wherever the host
+# is), but an OUT-OF-BAND strict anchor means the host is diffusely
+# degraded (2026-08-14: repeats at d76/d33 read 56.4/57.1s against the
+# 49-55 band, --compare DIFFUSE median 1.13x) — flag it so nobody
+# mistakes a degraded-host anchor for a re-anchored band.
 accept() {
-  python3 - "$CLEAN_TICKS" "$1" "$(head_sha)" "$HIST" <<'EOF'
+  python3 - "$CLEAN_TICKS" "$1" "$(head_sha)" "$HIST" "$BAND_LO" "$BAND_HI" <<'EOF'
 import json, sys
 bar, n0, sha, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+band_lo, band_hi = float(sys.argv[5]), float(sys.argv[6])
 try:
     raw = open(path).read().splitlines()
 except FileNotFoundError:
@@ -120,7 +127,16 @@ def delta(d):
     except Exception:
         return 10**9
 ds = [delta(d) for d in new]
-print("OK" if all(x <= bar for x in ds) else "DIRTY", ds)
+if not all(x <= bar for x in ds):
+    print("DIRTY", ds); sys.exit()
+vals = [d.get("value") for d in new]
+if all(isinstance(v, (int, float)) for v in vals):
+    tag = ("IN-BAND" if all(band_lo <= v <= band_hi for v in vals)
+           else "OUT-OF-BAND")
+    print("OK", ds, "values", [round(v, 1) for v in vals],
+          f"{tag} [{band_lo}, {band_hi}]")
+else:
+    print("OK", ds, "values unknown (no `value` field)")
 EOF
 }
 
@@ -179,7 +195,11 @@ main() {
       ok=$(accept "$n0")
       echo "$(date -u +%FT%TZ) attempt $attempts result: $ok"
       case "$ok" in OK*)
-        echo "DONE (strict: one attempt, both repeats <= $CLEAN_TICKS ticks)"; exit 0;;
+        echo "DONE (strict: one attempt, both repeats <= $CLEAN_TICKS ticks)"
+        case "$ok" in *OUT-OF-BAND*)
+          echo "CAUTION: strict anchor values are OUTSIDE the documented band — diffuse host degradation suspected; run tools/bench_history.py --compare --band <last-good-sha> <this-ts> before treating these values as a re-anchored band";;
+        esac
+        exit 0;;
       esac
       co=$(cohort "$n_session")
       echo "$(date -u +%FT%TZ) cohort check: $co"
@@ -244,6 +264,17 @@ if [ "${1:-}" = "--selftest" ]; then
   # pre-round-15 line shape (covariate endpoints, no steal_delta field)
   rc=$(run_case "$t/o7" "printf '{\"sha\":\"%s\",\"load_start\":{\"steal_ticks\":10},\"load_end\":{\"steal_ticks\":20}}\n' '$sha' '$sha' >> '$H'")
   check "covariate-endpoint lines still adjudicate" 0 "$rc" "$t/o7" "OK \[10, 10\]" "STALE"
+
+  # band position rides on strict acceptance: in-band values accept
+  # quietly, out-of-band values accept WITH the degraded-host caution
+  # (the 2026-08-14 case: strict anchor at 56.4/57.1s vs band 49-55)
+  rc=$(run_case "$t/o8a" "printf '{\"sha\":\"%s\",\"steal_delta\":3,\"value\":52.0}\n' '$sha' '$sha' >> '$H'")
+  check "strict in-band acceptance carries no caution" 0 "$rc" "$t/o8a" \
+    "IN-BAND" "CAUTION"
+
+  rc=$(run_case "$t/o8b" "printf '{\"sha\":\"%s\",\"steal_delta\":3,\"value\":60.0}\n' '$sha' '$sha' >> '$H'")
+  check "strict out-of-band acceptance prints the caution" 0 "$rc" "$t/o8b" \
+    "CAUTION: strict anchor values are OUTSIDE" "IN-BAND"
 
   # cohort fallback: lines too dirty for the strict rule (delta 200 >
   # CLEAN_TICKS) but self-adjudicated comparable and in-band accumulate
