@@ -120,13 +120,38 @@ final class RateLimitedException(val retryAfterMs: Option[Long], url: String)
 /** One TokenProvider per executor JVM (the documented S1 semantic):
   * partition readers share this instead of minting a token per page. */
 object ExecutorAuth {
+  /** The credential-less default: backends with no token endpoint
+    * (LineFileClient, canned spec transports) get a local opaque token —
+    * there is no credential exchange to perform. */
   val provider: TokenProvider = new TokenProvider
+
+  // One provider per credential config per executor JVM: page readers
+  // scanning the same credentialed endpoint share one cached token (and
+  // one mint round-trip per ttl) instead of minting per page reader.
+  // Bounded by distinct credential sets ever scanned — in practice 1.
+  private val minted =
+    scala.collection.concurrent.TrieMap.empty[MintConfig, TokenProvider]
+
+  def providerFor(cfg: Option[MintConfig]): TokenProvider = cfg match {
+    case None => provider
+    case Some(c) => minted.getOrElseUpdate(c,
+      new TokenProvider(mint = Some(new ClientCredentialsMint(
+        Endpoint.mintTransport, c.tokenUrl, c.clientId, c.clientSecret))))
+  }
 }
 
 /** S1: client-credentials token cache with expiry — the reference's
-  * `get_token` (01_TestingPy/Spotify_API.py:16-40) minus the HTTP call.
-  * Thread-safe: one token per executor JVM, refreshed on expiry or 401. */
-class TokenProvider(ttlMs: Long = 3600000L) {
+  * `get_token` caching semantics (01_TestingPy/Spotify_API.py:16-40).
+  * Thread-safe: one token per executor JVM, refreshed on expiry or 401.
+  *
+  * `mint` is the credential-exchange seam: `() => (token, ttlMs)`.
+  * Production wires [[ClientCredentialsMint]] (the X1 Basic-auth POST);
+  * `None` — transportless backends, where no token endpoint exists —
+  * mints a local opaque token with the provider's own ttl. A minted ttl
+  * of 0 means the token is already expired: every call re-mints, which
+  * is the honest reading of an endpoint that refuses to cache. */
+class TokenProvider(ttlMs: Long = 3600000L,
+                    mint: Option[() => (String, Long)] = None) {
   @volatile private var cached: Option[(String, Long)] = None
 
   /** A live bearer token, refreshing if absent or expired. */
@@ -135,8 +160,11 @@ class TokenProvider(ttlMs: Long = 3600000L) {
     cached match {
       case Some((t, exp)) if exp > now => t
       case _ =>
-        val t = s"token-${now}" // stub mint; production: POST /api/token
-        cached = Some((t, now + ttlMs))
+        val (t, ttl) = mint match {
+          case Some(m) => m()
+          case None    => (s"token-${now}", ttlMs)
+        }
+        cached = Some((t, now + ttl))
         t
     }
   }

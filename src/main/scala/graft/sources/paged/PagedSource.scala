@@ -55,12 +55,23 @@ class PagedSource extends TableProvider {
     // would silently fall back to the default — the exact silent-fallback
     // mode the hasTransport spec exists to catch.
     val opts = new CaseInsensitiveStringMap(properties)
+    // Client credentials (X1): all three options or none — a partial
+    // triple is a misconfiguration, not "no auth", and must not
+    // silently degrade to the credential-less local token.
+    val mint = (Option(opts.get("tokenUrl")), Option(opts.get("clientId")),
+                Option(opts.get("clientSecret"))) match {
+      case (Some(tu), Some(ci), Some(cs)) => Some(MintConfig(tu, ci, cs))
+      case (None, None, None)             => None
+      case _ => throw new IllegalArgumentException(
+        "tokenUrl, clientId and clientSecret must be set together")
+    }
     new PagedTable(
       Endpoint(Option(opts.get("path")), Option(opts.get("url")),
         ratePerSec = Option(opts.get("ratePerSec"))
           .map(_.toDouble).getOrElse(Endpoint.DefaultRatePerSec),
         burst = Option(opts.get("burst"))
-          .map(_.toInt).getOrElse(Endpoint.DefaultBurst)),
+          .map(_.toInt).getOrElse(Endpoint.DefaultBurst),
+        mint = mint),
       Option(opts.get("pageSize")).map(_.toInt).getOrElse(50))
   }
 }
@@ -72,23 +83,33 @@ class PagedSource extends TableProvider {
   * built on arrival (HTTP clients and file handles don't serialize). */
 final case class Endpoint(path: Option[String], url: Option[String],
                           ratePerSec: Double = Endpoint.DefaultRatePerSec,
-                          burst: Int = Endpoint.DefaultBurst) {
+                          burst: Int = Endpoint.DefaultBurst,
+                          mint: Option[MintConfig] = None) {
   require(path.isDefined ^ url.isDefined,
     "exactly one of 'path' or 'url' must be set")
   require(ratePerSec > 0, s"ratePerSec must be positive, got $ratePerSec")
   require(burst >= 1, s"burst must be at least 1, got $burst")
+  require(mint.isEmpty || url.isDefined,
+    "client credentials only apply to a 'url' endpoint")
 
   def describe: String = url.orElse(path).get
 
   /** Build the client stack on the current JVM: transport (shared
     * per-executor per-endpoint, throttled) → REST/file client →
-    * retry/re-auth. */
-  def client(): PageClient = new RetryingClient(
-    url match {
-      case Some(u) => new RestPageClient(Endpoint.transport(u, ratePerSec, burst), u)
-      case None    => new LineFileClient(path.get)
-    },
-    auth = ExecutorAuth.provider)
+    * retry/re-auth. The SAME provider instance goes to both layers:
+    * RestPageClient reads the token for the Bearer header, and
+    * RetryingClient invalidates that very cache on 401 — two providers
+    * would refresh one cache and send from the other. */
+  def client(): PageClient = {
+    val auth = ExecutorAuth.providerFor(mint)
+    new RetryingClient(
+      url match {
+        case Some(u) =>
+          new RestPageClient(Endpoint.transport(u, ratePerSec, burst), u, auth)
+        case None => new LineFileClient(path.get)
+      },
+      auth = auth)
+  }
 }
 
 object Endpoint {
@@ -106,6 +127,14 @@ object Endpoint {
     * many endpoints. The JDK client pools connections per-host
     * internally, so sharing it across endpoints costs nothing. */
   private lazy val sharedHttp: HttpTransport = new JdkHttpTransport()
+
+  /** Transport for token mints ([[ExecutorAuth.providerFor]]): the
+    * shared JDK client, deliberately UNthrottled — the token host is a
+    * different endpoint from the data host (accounts vs api in the
+    * reference), and a mint happens once per ttl per executor, so
+    * running it through a data endpoint's bucket would only delay
+    * recovery after a 401. */
+  private[paged] def mintTransport: HttpTransport = sharedHttp
 
   private val buckets =
     scala.collection.concurrent.TrieMap.empty[String, TokenBucketTransport]

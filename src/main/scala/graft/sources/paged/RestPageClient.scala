@@ -24,6 +24,17 @@ trait HttpTransport {
     val (status, body) = get(url, headers)
     HttpReply(status, body)
   }
+
+  /** POST with a body — the verb the client-credentials token mint
+    * needs ([[ClientCredentialsMint]]); page traffic is all GET. The
+    * default refuses: a canned GET-only spec transport stays a valid
+    * [[HttpTransport]], and wiring a minting [[TokenProvider]] to a
+    * transport that cannot actually POST fails loudly at the first mint
+    * instead of silently sending nothing. The JDK transport overrides. */
+  def post(url: String, headers: Map[String, String],
+           body: String): HttpReply =
+    throw new UnsupportedOperationException(
+      s"transport ${getClass.getName} is GET-only; token minting needs post()")
 }
 
 /** A transport response. `headers` keys are lower-cased on construction
@@ -58,7 +69,20 @@ class JdkHttpTransport(timeoutMs: Long = 30000L) extends HttpTransport {
     val b = HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs)).GET()
     headers.foreach { case (k, v) => b.header(k, v) }
-    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    send(b.build())
+  }
+
+  override def post(url: String, headers: Map[String, String],
+                    body: String): HttpReply = {
+    val b = HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    send(b.build())
+  }
+
+  private def send(req: HttpRequest): HttpReply = {
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     import scala.jdk.CollectionConverters._
     val hs = resp.headers().map().asScala.collect {
       case (k, vs) if !vs.isEmpty => k.toLowerCase -> vs.get(0)

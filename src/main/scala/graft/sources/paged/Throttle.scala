@@ -112,4 +112,12 @@ class TokenBucketTransport(inner: HttpTransport, ratePerSec: Double = 2.0,
     acquire()
     inner.fetch(url, headers)
   }
+
+  // a POST through a throttled transport is paced like any request —
+  // the bucket's contract is requests-per-second, not GETs-per-second
+  override def post(url: String, headers: Map[String, String],
+                    body: String): HttpReply = {
+    acquire()
+    inner.post(url, headers, body)
+  }
 }

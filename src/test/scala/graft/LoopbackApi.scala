@@ -24,18 +24,65 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * wire — lets a spec serve a malformed payload (e.g. a non-numeric
   * `popularity` cell) that the well-formed fixture can't express, to
   * prove the reader quarantines instead of crashing.
+  *
+  * `tokenCreds` turns on the client-credentials exchange (X1): a
+  * `/api/token` route that 401s unless the `Basic` header DECODES to
+  * `id:secret` (server-side decode, so a spec proves the client sent
+  * genuine base64 — cf. 01_TestingPy/Spotify_API.py:16-40), mints
+  * `tok-N` with `expires_in = tokenTtlSec`, and from then on the data
+  * route rejects any Bearer token it did not mint (or that
+  * [[revokeAll]] has revoked) with 401 — so an end-to-end scan proves
+  * the minted token, not a stub, authorized every page.
   */
 final class LoopbackApi(rows: Seq[(String, String, Int, String)],
-                        mangle: String => String = identity)
+                        mangle: String => String = identity,
+                        tokenCreds: Option[(String, String)] = None,
+                        tokenTtlSec: Long = 3600L)
     extends AutoCloseable {
 
   val requests = new ConcurrentLinkedQueue[String]()       // query strings seen
   val authHeaders = new ConcurrentLinkedQueue[String]()    // Authorization values
   val failures = new ConcurrentLinkedQueue[(Int, Option[Long])]()
   val redirectHits = new java.util.concurrent.atomic.AtomicInteger(0)
+  val mintCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val liveTokens =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Server-side revocation: every previously minted token turns
+    * invalid, so the next data request 401s and the client must re-mint
+    * (the mid-scan expiry/refresh path, Spotify_API.py:54-57). */
+  def revokeAll(): Unit = liveTokens.clear()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/v1/things", new Handler)
+  tokenCreds.foreach { case (id, secret) =>
+    server.createContext("/api/token", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+        val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
+          .getOrElse("")
+        // decode, don't re-encode-and-compare: this proves the client's
+        // header is real base64 of id:secret, not merely the same bytes
+        // both sides would produce from a shared (possibly broken) encoder
+        val decoded =
+          if (auth.startsWith("Basic "))
+            scala.util.Try(new String(java.util.Base64.getDecoder
+              .decode(auth.stripPrefix("Basic ")), "UTF-8")).getOrElse("")
+          else ""
+        if (x.getRequestMethod != "POST")
+          respond(x, 405, """{"error":"POST only"}""")
+        else if (decoded != s"$id:$secret")
+          respond(x, 401, """{"error":"invalid_client"}""")
+        else if (!body.contains("grant_type=client_credentials"))
+          respond(x, 400, """{"error":"unsupported_grant_type"}""")
+        else {
+          val t = s"tok-${mintCount.incrementAndGet()}"
+          liveTokens.add(t)
+          respond(x, 200, s"""{"access_token":"$t","token_type":"Bearer","expires_in":$tokenTtlSec}""")
+        }
+      }
+    })
+  }
   // A moved-endpoint alias: every request here gets a 301 to the real
   // context (query string preserved) — exercises the transport's
   // redirect-following (Redirect.NORMAL), which nothing else executes.
@@ -53,8 +100,18 @@ final class LoopbackApi(rows: Seq[(String, String, Int, String)],
 
   def base: String = s"http://127.0.0.1:${server.getAddress.getPort}/v1/things"
   def movedBase: String = s"http://127.0.0.1:${server.getAddress.getPort}/old/things"
+  def tokenUrl: String = s"http://127.0.0.1:${server.getAddress.getPort}/api/token"
   def queries: Seq[String] = requests.asScala.toSeq
   override def close(): Unit = server.stop(0)
+
+  private def respond(x: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    x.getResponseHeaders.add("Content-Type", "application/json")
+    x.sendResponseHeaders(status, bytes.length)
+    val os = x.getResponseBody
+    try os.write(bytes) finally os.close()
+    x.close()
+  }
 
   private final class Handler extends HttpHandler {
     override def handle(x: HttpExchange): Unit = {
@@ -64,9 +121,17 @@ final class LoopbackApi(rows: Seq[(String, String, Int, String)],
       // Raw in, split on the wire-level separators, decode each part once.
       val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
       requests.add(q)
-      authHeaders.add(Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      val authz = Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      authHeaders.add(authz)
       failures.poll() match {
-        case null => respond(x, 200, mangle(envelope(q)))
+        case null =>
+          // credentialed mode: only tokens THIS server minted (and has
+          // not revoked) may read data — a stub token gets the same 401
+          // a real API would send
+          if (tokenCreds.isDefined &&
+              !liveTokens.contains(authz.stripPrefix("Bearer ")))
+            respond(x, 401, """{"error":"invalid_token"}""")
+          else respond(x, 200, mangle(envelope(q)))
         case (status, retryAfterSec) =>
           retryAfterSec.foreach(s => x.getResponseHeaders.add("Retry-After", s.toString))
           respond(x, status, s"""{"error":$status}""")
@@ -102,15 +167,6 @@ final class LoopbackApi(rows: Seq[(String, String, Int, String)],
       }.mkString("[", ",", "]")
       s"""{"total":${filtered.size},"items":$items}"""
     }
-
-    private def respond(x: HttpExchange, status: Int, body: String): Unit = {
-      val bytes = body.getBytes("UTF-8")
-      x.getResponseHeaders.add("Content-Type", "application/json")
-      x.sendResponseHeaders(status, bytes.length)
-      val os = x.getResponseBody
-      try os.write(bytes) finally os.close()
-      x.close()
-    }
   }
 }
 
@@ -128,6 +184,16 @@ object LoopbackApi {
   /** Like [[withApi]] but with an envelope-mangling rewrite installed. */
   def withMangledApi[T](mangle: String => String)(f: LoopbackApi => T): T = {
     val api = new LoopbackApi(fixtureRows, mangle)
+    try f(api) finally api.close()
+  }
+
+  /** Like [[withApi]] but credentialed: the token route is live and the
+    * data route demands a token it minted (see class doc). */
+  def withCredentialedApi[T](id: String, secret: String,
+                             tokenTtlSec: Long = 3600L)
+                            (f: LoopbackApi => T): T = {
+    val api = new LoopbackApi(fixtureRows, identity,
+      tokenCreds = Some((id, secret)), tokenTtlSec = tokenTtlSec)
     try f(api) finally api.close()
   }
 }
