@@ -53,6 +53,23 @@
 # accumulate; do NOT widen the band to admit cold lines — a cold-repeat
 # headline is not anchor evidence (README, round-16 note).
 #
+# Band provenance (round 17). The anchor band lives in
+# tools/ANCHOR_BAND.json (lo/hi + date + sha + the evidence values),
+# read at launch; ANCHOR_BAND_LO/HI env still override for one-off
+# experiments. `tools/anchor_bench.sh --reanchor [N]` re-anchors it on
+# the record: it takes the N (default 5) most recent comparable
+# numeric-value history lines at HEAD in one (cpus, sf) family, writes
+# [floor(min)-1, ceil(max)+1] (the same reading margin the original
+# 49-55 band put around ~50-54) plus full evidence into the band file,
+# and appends a provenance line to README — so on a persistently
+# slower host the cohort fallback stops silently starving on a stale
+# band, and every band's origin is auditable.
+#
+# Exit codes: 0 = anchored (strict warm-in-band, or cohort);
+# 3 = strict-accepted but the warm repeat is OUTSIDE the band (a valid
+# anchor of a diffusely degraded host — automation must not record it
+# as a normal anchor); 2 = gave up / refused.
+#
 # Usage: tools/anchor_bench.sh [sfDir]   (default /root/testdata/sf0.1)
 # Keep the machine otherwise idle: your own load does not create steal,
 # but it does land in the loadavg covariate and in the timings.
@@ -64,11 +81,24 @@ SF_DIR="${1:-/root/testdata/sf0.1}"
 # the selftest can force the never-quiet path without faking /proc/stat
 QUIET_TICKS="${ANCHOR_QUIET_TICKS:-30}"
 CLEAN_TICKS=100  # per recorded run (the VERDICT bar for an anchor)
-# Cohort fallback knobs (see header). Band defaults track the README's
-# documented ~50-54 s anchor band with ~1 s reading margin on each side.
+# Cohort fallback knobs (see header). Band resolution: env override >
+# tools/ANCHOR_BAND.json (written by --reanchor, carries provenance) >
+# builtin 49/55 fallback (the original round-13..16 ~50-54 s record).
 COHORT_N="${ANCHOR_COHORT_N:-5}"
-BAND_LO="${ANCHOR_BAND_LO:-49}"
-BAND_HI="${ANCHOR_BAND_HI:-55}"
+BAND_FILE="${ANCHOR_BAND_FILE:-tools/ANCHOR_BAND.json}"
+band_from_file() { # <key> <fallback>
+  python3 - "$BAND_FILE" "$1" "$2" <<'EOF'
+import json, sys
+try:
+    v = json.load(open(sys.argv[1]))[sys.argv[2]]
+    print(v if isinstance(v, (int, float)) and not isinstance(v, bool)
+          else sys.argv[3])
+except Exception:
+    print(sys.argv[3])
+EOF
+}
+BAND_LO="${ANCHOR_BAND_LO:-$(band_from_file lo 49)}"
+BAND_HI="${ANCHOR_BAND_HI:-$(band_from_file hi 55)}"
 # Env-overridable so the selftest can run the real loop fast with stub
 # commands; production runs use the defaults.
 MAX_ATTEMPTS="${ANCHOR_MAX_ATTEMPTS:-4}"
@@ -130,13 +160,24 @@ ds = [delta(d) for d in new]
 if not all(x <= bar for x in ds):
     print("DIRTY", ds); sys.exit()
 vals = [d.get("value") for d in new]
-if all(isinstance(v, (int, float)) for v in vals):
-    tag = ("IN-BAND" if all(band_lo <= v <= band_hi for v in vals)
-           else "OUT-OF-BAND")
-    print("OK", ds, "values", [round(v, 1) for v in vals],
-          f"{tag} [{band_lo}, {band_hi}]")
+# bool is an int subclass: a pathological "value": true must take the
+# values-unknown path, not be band-checked as 1.0
+def num(v):
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+if all(num(v) for v in vals):
+    # Per-value tags, verdict on the WARM repeat (last line / jvm_run 2)
+    # only: cold jvm_run-1 reads 59-61 s at clean steal on a healthy
+    # host (benign JIT/page-cache warm-up — README round-16 note), so
+    # requiring ALL values in band would stamp a valid cold-out/warm-in
+    # anchor with the degraded-host caution.
+    tagged = " ".join(
+        "{}({})".format(round(v, 1), "in" if band_lo <= v <= band_hi
+                        else "out") for v in vals)
+    tag = ("IN-BAND" if band_lo <= vals[-1] <= band_hi else "OUT-OF-BAND")
+    print("OK", ds, "values", tagged,
+          f"warm {tag} [{band_lo}, {band_hi}]")
 else:
-    print("OK", ds, "values unknown (no `value` field)")
+    print("OK", ds, "values unknown (no numeric `value` field)")
 EOF
 }
 
@@ -161,10 +202,12 @@ def comparable(d):
         return d["load_end"]["steal_ticks"] - d["load_start"]["steal_ticks"] <= 400
     except Exception:
         return False
+def num(v):  # bool is an int subclass — never band-check True as 1.0
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
 ok = [d for d in rows
       if (sha == "unknown" or d.get("sha") in (sha, "unknown"))
       and comparable(d)
-      and isinstance(d.get("value"), (int, float)) and lo <= d["value"] <= hi]
+      and num(d.get("value")) and lo <= d["value"] <= hi]
 vals = [round(d["value"], 1) for d in ok]
 tag = "COHORT" if len(ok) >= need else "NOCOHORT"
 print(f"{tag} {len(ok)}/{need} comparable in-band session lines {vals} (band [{lo}, {hi}], sha {sha[:8]})")
@@ -197,7 +240,11 @@ main() {
       case "$ok" in OK*)
         echo "DONE (strict: one attempt, both repeats <= $CLEAN_TICKS ticks)"
         case "$ok" in *OUT-OF-BAND*)
-          echo "CAUTION: strict anchor values are OUTSIDE the documented band — diffuse host degradation suspected; run tools/bench_history.py --compare --band <last-good-sha> <this-ts> before treating these values as a re-anchored band";;
+          echo "CAUTION: strict anchor's WARM repeat is OUTSIDE the documented band — diffuse host degradation suspected; run tools/bench_history.py --compare --band <last-good-sha> <this-ts>, and if the host has genuinely re-based, tools/anchor_bench.sh --reanchor"
+          # distinct success code: accepted, but automation keying off
+          # the exit status must be able to tell a degraded-host anchor
+          # from a normal one (3 = anchored-out-of-band)
+          exit 3;;
         esac
         exit 0;;
       esac
@@ -211,6 +258,86 @@ main() {
   echo "GAVE UP after $attempts bench attempts / $windows windows"
   exit 2
 }
+
+# --reanchor [N]: re-base the documented band on the record. Takes the
+# N (default 5) most recent comparable numeric-value history lines at
+# HEAD belonging to ONE (cpus, sf) family — the family of the most
+# recent qualifying line — writes [floor(min)-1, ceil(max)+1] plus the
+# full evidence (date, sha, values, cpus, sf) into $BAND_FILE, and
+# appends a provenance line to README so the band's origin chain stays
+# auditable. Refuses (exit 2) when the family holds fewer than N
+# qualifying lines: a band must rest on repeated in-family evidence,
+# never on a mixed-configuration grab bag.
+if [ "${1:-}" = "--reanchor" ]; then
+  python3 - "${2:-5}" "$(head_sha)" "$HIST" "$BAND_FILE" \
+      "${ANCHOR_README_FILE:-README.md}" <<'EOF'
+import datetime, json, math, sys
+need, sha, hist, band_file, readme = (int(sys.argv[1]), sys.argv[2],
+                                      sys.argv[3], sys.argv[4], sys.argv[5])
+try:
+    rows = [json.loads(l) for l in open(hist) if l.strip()]
+except FileNotFoundError:
+    sys.exit(f"REFUSED: no history at {hist}")
+def num(v):
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+def cpus(d):
+    try:
+        return int(d.get("cpus"))
+    except (TypeError, ValueError):
+        return None
+def comparable(d):  # same rule as the cohort acceptance
+    if isinstance(d.get("noncomparable"), bool):
+        return not d["noncomparable"]
+    try:
+        return d["load_end"]["steal_ticks"] - d["load_start"]["steal_ticks"] <= 400
+    except Exception:
+        return False
+ok = [d for d in rows
+      if (sha == "unknown" or d.get("sha") == sha)
+      and comparable(d) and num(d.get("value"))]
+if not ok:
+    sys.exit(f"REFUSED: no comparable numeric-value lines at HEAD {sha[:8]}")
+fam = (cpus(ok[-1]), ok[-1].get("sf_num"))
+if fam[0] is None or not num(fam[1]):
+    sys.exit("REFUSED: the most recent qualifying line carries no "
+             f"(cpus, sf_num) to define a family: {fam}")
+fam_ok = [d for d in ok if (cpus(d), d.get("sf_num")) == fam]
+if len(fam_ok) < need:
+    sys.exit(f"REFUSED: only {len(fam_ok)} comparable lines in the "
+             f"({fam[0]} cpus, sf {fam[1]}) family at HEAD {sha[:8]} "
+             f"(need {need})")
+vals = [d["value"] for d in fam_ok[-need:]]
+# same reading margin the original 49-55 band put around ~50-54
+lo, hi = math.floor(min(vals)) - 1, math.ceil(max(vals)) + 1
+today = datetime.date.today().isoformat()
+band = {"lo": lo, "hi": hi, "anchored": today, "sha": sha, "n": need,
+        "cpus": fam[0], "sf_num": fam[1],
+        "values": [round(v, 1) for v in vals],
+        "source": f"tools/anchor_bench.sh --reanchor {need}"}
+with open(band_file, "w") as f:
+    json.dump(band, f, indent=1)
+    f.write("\n")
+line = (f"- {today}: band re-anchored to [{lo}, {hi}] s from the last "
+        f"{need} comparable runs at {sha[:8]} ({fam[0]} cpus, sf "
+        f"{fam[1]}): {band['values']} (`tools/anchor_bench.sh "
+        f"--reanchor {need}`)")
+try:
+    text = open(readme).read()
+except FileNotFoundError:
+    text = ""
+head = "## Anchor band provenance"
+if head not in text:
+    text = text.rstrip("\n") + f"\n\n{head}\n\n" if text else f"{head}\n\n"
+else:
+    text = text.rstrip("\n") + "\n"
+with open(readme, "w") as f:
+    f.write(text + line + "\n")
+print(f"RE-ANCHORED [{lo}, {hi}] from {band['values']} @ {sha[:8]} "
+      f"({fam[0]} cpus, sf {fam[1]}) -> {band_file}; provenance "
+      f"appended to {readme}")
+EOF
+  exit $?
+fi
 
 # --selftest: run the REAL loop against a temp history file with stub
 # bench commands. Each scenario asserts both the exit code and the
@@ -231,7 +358,10 @@ if [ "${1:-}" = "--selftest" ]; then
     fi
   }
   run_case() { # <outfile> <bench_cmd>
-    ANCHOR_HISTORY_FILE="$H" ANCHOR_WINDOW_SECS=0 ANCHOR_MAX_ATTEMPTS=2 \
+    # band pinned to the classic 49-55 so the cases below stay
+    # deterministic after any real --reanchor rewrites the band file
+    ANCHOR_BAND_LO=49 ANCHOR_BAND_HI=55 \
+      ANCHOR_HISTORY_FILE="$H" ANCHOR_WINDOW_SECS=0 ANCHOR_MAX_ATTEMPTS=2 \
       ANCHOR_MAX_WINDOWS=4 ANCHOR_BENCH_CMD="$2" "$SELF" > "$1" 2>&1
     echo $?
   }
@@ -265,16 +395,30 @@ if [ "${1:-}" = "--selftest" ]; then
   rc=$(run_case "$t/o7" "printf '{\"sha\":\"%s\",\"load_start\":{\"steal_ticks\":10},\"load_end\":{\"steal_ticks\":20}}\n' '$sha' '$sha' >> '$H'")
   check "covariate-endpoint lines still adjudicate" 0 "$rc" "$t/o7" "OK \[10, 10\]" "STALE"
 
-  # band position rides on strict acceptance: in-band values accept
-  # quietly, out-of-band values accept WITH the degraded-host caution
+  # band position rides on strict acceptance, adjudicated on the WARM
+  # repeat: in-band accepts quietly at 0; a warm repeat outside the
+  # band accepts WITH the degraded-host caution at the distinct exit 3
   # (the 2026-08-14 case: strict anchor at 56.4/57.1s vs band 49-55)
   rc=$(run_case "$t/o8a" "printf '{\"sha\":\"%s\",\"steal_delta\":3,\"value\":52.0}\n' '$sha' '$sha' >> '$H'")
   check "strict in-band acceptance carries no caution" 0 "$rc" "$t/o8a" \
     "IN-BAND" "CAUTION"
 
   rc=$(run_case "$t/o8b" "printf '{\"sha\":\"%s\",\"steal_delta\":3,\"value\":60.0}\n' '$sha' '$sha' >> '$H'")
-  check "strict out-of-band acceptance prints the caution" 0 "$rc" "$t/o8b" \
-    "CAUTION: strict anchor values are OUTSIDE" "IN-BAND"
+  check "strict warm-out-of-band acceptance cautions and exits 3" 3 "$rc" "$t/o8b" \
+    "CAUTION: strict anchor's WARM repeat is OUTSIDE" "warm IN-BAND"
+
+  # cold jvm_run-1 elevation (59-61s at clean steal on a healthy host)
+  # with the warm repeat back in band is a VALID normal anchor — the
+  # per-value tags show the cold outlier, but no caution, exit 0
+  rc=$(run_case "$t/o8c" "printf '{\"sha\":\"%s\",\"steal_delta\":3,\"value\":59.4}\n{\"sha\":\"%s\",\"steal_delta\":3,\"value\":53.5}\n' '$sha' '$sha' >> '$H'")
+  check "cold-out/warm-in pair is a normal in-band anchor" 0 "$rc" "$t/o8c" \
+    "59.4(out) 53.5(in) warm IN-BAND" "CAUTION"
+
+  # JSON booleans are int subclasses in python — a pathological
+  # "value": true must take the values-unknown path, not band-check as 1.0
+  rc=$(run_case "$t/o8d" "printf '{\"sha\":\"%s\",\"steal_delta\":3,\"value\":true}\n' '$sha' '$sha' >> '$H'")
+  check "boolean value takes the values-unknown path" 0 "$rc" "$t/o8d" \
+    "values unknown" "BAND"
 
   # cohort fallback: lines too dirty for the strict rule (delta 200 >
   # CLEAN_TICKS) but self-adjudicated comparable and in-band accumulate
@@ -298,6 +442,47 @@ if [ "${1:-}" = "--selftest" ]; then
   done
   rc=$(ANCHOR_COHORT_N=4 run_case "$t/o12" "true")
   check "cohort ignores pre-session lines" 2 "$rc" "$t/o12" "NOCOHORT 0/4" "DONE"
+
+  # --reanchor: re-base the band from the last N in-family comparable
+  # lines at HEAD, write the band file + README provenance, and from
+  # then on acceptance follows the NEW band (no env override needed)
+  H2="$t/hist2.jsonl"
+  for v in 59.8 60.2 61.0 60.5 59.9; do
+    printf '{"sha":"%s","steal_delta":10,"noncomparable":false,"value":%s,"cpus":32,"sf_num":0.1}\n' "$sha" "$v" >> "$H2"
+  done
+  ANCHOR_HISTORY_FILE="$H2" ANCHOR_BAND_FILE="$t/band.json" \
+    ANCHOR_README_FILE="$t/readme.md" "$SELF" --reanchor 5 > "$t/o13" 2>&1
+  rc13=$?
+  if [ "$rc13" -ne 0 ] || ! grep -q "RE-ANCHORED \[58, 62\]" "$t/o13" \
+      || ! grep -q "band re-anchored to \[58, 62\]" "$t/readme.md" \
+      || ! grep -q '"lo": 58' "$t/band.json"; then
+    echo "FAIL: reanchor writes band+README (rc=$rc13)"; sed 's/^/    /' "$t/o13"; fail=1
+  else
+    echo "ok: reanchor writes band [58, 62] + README provenance"
+  fi
+
+  # accept-under-new-band: a 60.0 pair that was OUT-OF-BAND under 49-55
+  # is a quiet exit-0 IN-BAND anchor under the re-anchored 58-62
+  rc=$(ANCHOR_BAND_FILE="$t/band.json" ANCHOR_HISTORY_FILE="$H" \
+    ANCHOR_WINDOW_SECS=0 ANCHOR_MAX_ATTEMPTS=2 ANCHOR_MAX_WINDOWS=4 \
+    ANCHOR_BENCH_CMD="printf '{\"sha\":\"%s\",\"steal_delta\":3,\"value\":60.0}\n' '$sha' '$sha' >> '$H'" \
+    "$SELF" > "$t/o14" 2>&1; echo $?)
+  check "acceptance follows the re-anchored band file" 0 "$rc" "$t/o14" \
+    "warm IN-BAND \[58.0, 62.0\]" "CAUTION"
+
+  # mixed-family protection: when the most recent qualifying line is an
+  # 8-cpu/sf0.001 smoke, its family (1 line) governs and --reanchor
+  # refuses rather than folding smoke values into a canonical band
+  printf '{"sha":"%s","steal_delta":10,"noncomparable":false,"value":31.0,"cpus":8,"sf_num":0.001}\n' "$sha" >> "$H2"
+  ANCHOR_HISTORY_FILE="$H2" ANCHOR_BAND_FILE="$t/band2.json" \
+    ANCHOR_README_FILE="$t/readme2.md" "$SELF" --reanchor 5 > "$t/o15" 2>&1
+  rc15=$?
+  if [ "$rc15" -eq 0 ] || ! grep -q "REFUSED: only 1 comparable lines in the (8 cpus, sf 0.001) family" "$t/o15" \
+      || [ -f "$t/band2.json" ]; then
+    echo "FAIL: reanchor mixed-family refusal (rc=$rc15)"; sed 's/^/    /' "$t/o15"; fail=1
+  else
+    echo "ok: reanchor refuses a too-small family instead of mixing configs"
+  fi
 
   # a host that is NEVER quiet must terminate at the window bound, not
   # poll forever (QUIET_TICKS=0 makes every window fail the gate)

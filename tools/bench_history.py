@@ -81,7 +81,18 @@ timer noise.
 The base side accepts a COHORT, not just one run: `--compare TS1
 [TS2 ...] CAND` uses the per-query minimum across all listed base runs,
 and `--compare --band SHA CAND` builds the cohort from every comparable
-(non-`!`) run whose sha starts with SHA. Rationale: a single base run
+(non-`!`) run whose sha starts with SHA **and whose (cpus, sf_num)
+equal the candidate's** — the history holds 8-cpu/sf0.001 smoke lines
+next to canonical 32-cpu/sf0.1 lines, and folding a smoke line's
+per-query minima into the base would mint absurd ratios against any
+candidate; dropped lines are counted out loud. Explicitly listed base
+runs are taken as given (the user picked them), with a WARNING per
+covariate mismatch.
+
+The summary view leads with the documented anchor band and its
+provenance (tools/ANCHOR_BAND.json, maintained by
+`tools/anchor_bench.sh --reanchor`), so any value on screen is read
+against the band it would be judged by — not a remembered number. Rationale: a single base run
 carries its own jitter — one query reading fast by chance in the base
 mints a false CONCENTRATED verdict against a perfectly normal
 candidate. The cohort floor is the honest "this code has run this
@@ -190,7 +201,35 @@ def non_comparable(d):
     return ""
 
 
+def band_info(path=None):
+    """The documented anchor band + provenance (tools/ANCHOR_BAND.json,
+    maintained by anchor_bench.sh --reanchor). None when absent or
+    garbled — the tool still works, it just can't show the band."""
+    import os
+    p = path if path is not None else os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ANCHOR_BAND.json")
+    try:
+        with open(p) as f:
+            b = json.load(f)
+        ok = all(isinstance(b.get(k), (int, float))
+                 and not isinstance(b.get(k), bool) for k in ("lo", "hi"))
+        return b if ok else None
+    except Exception:
+        return None
+
+
+def band_header():
+    b = band_info()
+    if b:
+        print("anchor band [{}, {}] s — anchored {} at {} ({} cpus, sf {}); "
+              "provenance: tools/ANCHOR_BAND.json".format(
+                  b["lo"], b["hi"], b.get("anchored", "?"),
+                  str(b.get("sha", "?"))[:8], b.get("cpus", "?"),
+                  b.get("sf_num", "?")))
+
+
 def summary(runs):
+    band_header()
     hdr = ("ts", "sha", "run", "cpus", "sf", "mode", "value_s", "fail",
            "load1m_s", "load1m_e", "steal_d", "!")
     print(("{:<20} {:<8} {:>3} {:>4} {:>6} {:<9} {:>8} {:>4} "
@@ -278,21 +317,49 @@ def cohort_mins(runs):
     return out
 
 
-def band_runs(runs, sha_prefix):
-    """All comparable (non-'!') runs at a sha — the --band base cohort."""
+def covariates(d):
+    """(cpus, sf_num) — the configuration identity a ratio is only
+    meaningful within."""
+    return (cpu_count(d), d.get("sf_num"))
+
+
+def band_runs(runs, sha_prefix, like=None):
+    """All comparable (non-'!') runs at a sha — the --band base cohort.
+    With `like`, hard-filtered to runs whose (cpus, sf_num) equal that
+    candidate's: the history holds 8-cpu/sf0.001 smoke lines beside
+    canonical 32-cpu/sf0.1 lines, and one smoke line's minima folded
+    into the base would poison every ratio. Dropped lines are counted
+    out loud — silent truncation reads as 'covered everything'."""
     hits = [d for d in runs
             if d.get("sha", "").startswith(sha_prefix)
             and non_comparable(d) == ""]
+    if like is not None:
+        want = covariates(like)
+        dropped = sum(1 for d in hits if covariates(d) != want)
+        if dropped:
+            print("band cohort: dropped {} run(s) whose (cpus, sf) != {} "
+                  "(smoke/other-config lines never fold into the base)"
+                  .format(dropped, want))
+        hits = [d for d in hits if covariates(d) == want]
     if not hits:
-        sys.exit("--band {!r}: no comparable runs at that sha"
-                 .format(sha_prefix))
+        sys.exit("--band {!r}: no comparable runs at that sha{}"
+                 .format(sha_prefix,
+                         "" if like is None else
+                         " with (cpus, sf) == {}".format(covariates(like))))
     return hits
 
 
 def compare(runs, base_specs, ts_b, band=None, top=10):
-    bases = band_runs(runs, band) if band is not None \
-        else [pick(runs, t) for t in base_specs]
     b = pick(runs, ts_b)
+    bases = band_runs(runs, band, like=b) if band is not None \
+        else [pick(runs, t) for t in base_specs]
+    if band is None:
+        for d in bases:
+            if covariates(d) != covariates(b):
+                print("WARNING: base {} has (cpus, sf) {} vs candidate's {} "
+                      "— these ratios are cross-configuration".format(
+                          d.get("ts", "-")[:19], covariates(d),
+                          covariates(b)))
     for d in bases:
         print("base: {} sha={} value={} steal_d={} {}".format(
             d.get("ts", "-")[:19], d.get("sha", "-")[:8],
@@ -401,6 +468,25 @@ def selftest():
         raise AssertionError("empty band must exit")
     except SystemExit:
         pass
+    # --band covariate filter: only lines with the CANDIDATE's
+    # (cpus, sf_num) survive into the cohort — an 8-cpu/sf0.001 smoke
+    # line and a covariate-less line are dropped, string cpus ("32")
+    # still matches numeric 32, and a cohort that empties after the
+    # filter refuses instead of comparing against nothing
+    cand = {"sha": "bbb0", "cpus": 32, "sf_num": 0.1, "queries": {"a": 1.0}}
+    full = {"sha": "aaa1", "cpus": 32, "sf_num": 0.1, "queries": {"a": 2.0}}
+    strc = {"sha": "aaa2", "cpus": "32", "sf_num": 0.1, "queries": {"a": 3.0}}
+    smoke = {"sha": "aaa3", "cpus": 8, "sf_num": 0.001, "queries": {"a": 0.01}}
+    nocov = {"sha": "aaa4", "sf_num": 0.1, "queries": {"a": 0.02}}
+    assert band_runs([full, strc, smoke, nocov], "aaa",
+                     like=cand) == [full, strc]
+    try:
+        band_runs([smoke], "aaa", like=cand)
+        raise AssertionError("covariate-empty band must exit")
+    except SystemExit:
+        pass
+    # band_info: a missing/garbled band file is None, never a crash
+    assert band_info(path="/nonexistent/band.json") is None
     print("selftest OK")
 
 
