@@ -59,37 +59,55 @@ class TablesSpec extends SparkSpec with BeforeAndAfterAll {
     finally super.afterAll()
   }
 
-  /** Write `{dir}/events.parquet/` with ts as true TIMESTAMP(NANOS,NTZ) —
-    * the one physical shape Spark can read (as raw long, under
-    * nanosAsLong) but not write.
+  /** Write a parquet file at exactly `path` with `ts` as INT64 under
+    * `tsAnnotation` (TIMESTAMP(NANOS) — the shape Spark can read as raw
+    * long under nanosAsLong but not write — or None for a plain
+    * unannotated INT64, the impersonator the footer check refuses).
+    * Writing with parquet-mr directly, not Spark, also gives the
+    * driver's SINGLE-FILE layout (`events.parquet` as a file) when
+    * `path` has no part-file suffix — Spark can only write directories.
     */
-  private def writeNanosParquet(dir: String, tsNanos: Long): Unit = {
+  private def writeParquetMr(
+      path: String, tsValue: Long,
+      tsAnnotation: Option[org.apache.parquet.schema.LogicalTypeAnnotation])
+      : Unit = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
-    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.Types
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+    val tsField = tsAnnotation.foldLeft(Types.optional(INT64))(_.as(_)).named("ts")
     val schema = Types.buildMessage()
-      .optional(INT64)
-      .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
-      .named("ts")
+      .addField(tsField)
       .optional(INT64).named("user_id")
       .named("spark_schema")
     val conf = new Configuration()
     GroupWriteSupport.setSchema(schema, conf)
     val w = ExampleParquetWriter
-      .builder(new HPath(s"$dir/events.parquet/part-00000.parquet"))
+      .builder(new HPath(path))
       .withConf(conf)
       .withType(schema)
       .build()
     try {
       val g = new SimpleGroupFactory(schema).newGroup()
-      g.add("ts", tsNanos)
+      g.add("ts", tsValue)
       g.add("user_id", 7L)
       w.write(g)
     } finally w.close()
   }
+
+  private def nanosAnnotation = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    Some(LogicalTypeAnnotation.timestampType(false,
+      LogicalTypeAnnotation.TimeUnit.NANOS))
+  }
+
+  /** `{dir}/events.parquet/` (directory-of-parts layout) with a true
+    * TIMESTAMP(NANOS) ts. */
+  private def writeNanosParquet(dir: String, tsNanos: Long): Unit =
+    writeParquetMr(s"$dir/events.parquet/part-00000.parquet", tsNanos,
+      nanosAnnotation)
 
   test("NANOS-vintage ts (raw-long read) passes the footer check and divides to micros") {
     val dir = tmp("nanos")
@@ -133,6 +151,29 @@ class TablesSpec extends SparkSpec with BeforeAndAfterAll {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val e = intercept[IllegalStateException](Tables.events(spark, dir))
     assert(e.getMessage.contains("not TIMESTAMP(NANOS)"))
+  }
+
+  test("single-file NANOS events.parquet (the driver's layout) normalizes") {
+    // the driver writes events.parquet as ONE file, not a Spark
+    // directory-of-parts — requireNanosTs's non-directory branch must
+    // read that file's own footer
+    val dir = tmp("nanos-single")
+    writeParquetMr(s"$dir/events.parquet", EpochUs * 1000L, nanosAnnotation)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assertNormalized(dir)
+  }
+
+  test("single-file plain-INT64 events.parquet is refused (the ADVICE scenario)") {
+    // the exact predicted hazard: a future regeneration writes the
+    // driver's single-file layout with ts as unannotated INT64 micros —
+    // logically identical to the NANOS vintage in Spark's schema, and
+    // div 1000 would silently mis-scale it 1000x. The footer guard must
+    // refuse on the FILE (not directory) branch.
+    val dir = tmp("int64-single")
+    writeParquetMr(s"$dir/events.parquet", EpochUs, None)
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("not TIMESTAMP(NANOS)"))
+    assert(e.getMessage.contains("plain INT64"))
   }
 
   test("an unrecognized ts type fails loudly instead of mis-deriving ts_us") {
