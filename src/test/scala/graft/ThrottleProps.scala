@@ -63,6 +63,27 @@ object ThrottleProps extends Properties("Throttle") {
       clock.now <= idealMs + (1000.0 / rate).toLong + calls
     }
 
+  property("post() shares the same budget as get/fetch — one bucket, all verbs") =
+    Prop.forAll(cases) { case (rate, burst, calls) =>
+      // the bucket's contract is requests-per-second, not GETs-per-
+      // second: a mixed get/post/fetch stream must pace identically to
+      // an all-get stream, or a POSTing client would dodge the throttle
+      val postCapable = new HttpTransport {
+        override def get(url: String, headers: Map[String, String]) = (200, "ok")
+        override def post(url: String, headers: Map[String, String],
+                          body: String) = graft.sources.paged.HttpReply(200, "ok")
+      }
+      val clock = new FakeClock
+      val t = new TokenBucketTransport(postCapable, rate, burst, clock)
+      (1 to calls).foreach(i =>
+        if (i % 3 == 0) t.post("u", Map.empty, "b")
+        else if (i % 3 == 1) { t.get("u", Map.empty); () }
+        else { t.fetch("u", Map.empty); () })
+      val paced = math.max(0, calls - burst)
+      val idealMs = (paced / rate * 1000.0).toLong
+      clock.now >= idealMs - paced
+    }
+
   property("reconfigure mid-stream keeps the never-over-admit bound") =
     Prop.forAll(cases, cases) { case ((r1, b1, c1), (r2, b2, c2)) =>
       val clock = new FakeClock
