@@ -152,6 +152,22 @@ class TokenMintSpec extends SparkSpec {
     }
   }
 
+  test("the loopback token route's guards: GET is 405, wrong grant 400") {
+    // the fixture server's own negative branches — otherwise dead code
+    // that could silently rot into accepting a malformed exchange
+    LoopbackApi.withCredentialedApi("cid4", "s4") { api =>
+      val t = new JdkHttpTransport()
+      val basic = java.util.Base64.getEncoder
+        .encodeToString("cid4:s4".getBytes("UTF-8"))
+      assert(t.fetch(api.tokenUrl, Map("Authorization" -> s"Basic $basic"))
+        .status === 405, "a GET at the token route must be refused")
+      assert(t.post(api.tokenUrl, Map("Authorization" -> s"Basic $basic"),
+        "grant_type=authorization_code").status === 400,
+        "only client_credentials is served")
+      assert(api.mintCount.get() === 0)
+    }
+  }
+
   test("a partial credential triple is refused at scan setup") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.paged.PagedSource")
