@@ -152,6 +152,39 @@ class TokenMintSpec extends SparkSpec {
     }
   }
 
+  test("concurrent readers share ONE mint per ttl (the per-executor S1 semantic)") {
+    // 16 threads hammer token simultaneously — the documented scale
+    // shape is one credential exchange per executor JVM per ttl, so
+    // exactly one mint may happen no matter how many page readers race
+    val mints = new java.util.concurrent.atomic.AtomicInteger(0)
+    val p = new TokenProvider(mint = Some(() =>
+      (s"t${mints.incrementAndGet()}", 60000L)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val tokens = (1 to 16).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = { start.await(); p.token }
+        })
+      }
+      start.countDown()
+      val got = tokens.map(_.get()).toSet
+      assert(got === Set("t1"), s"all racers must see the one minted token, got $got")
+      assert(mints.get() === 1)
+      // a 401 invalidate under the same race re-mints exactly once more
+      p.invalidate()
+      val start2 = new java.util.concurrent.CountDownLatch(1)
+      val tokens2 = (1 to 16).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = { start2.await(); p.token }
+        })
+      }
+      start2.countDown()
+      assert(tokens2.map(_.get()).toSet === Set("t2"))
+      assert(mints.get() === 2)
+    } finally pool.shutdown()
+  }
+
   test("the loopback token route's guards: GET is 405, wrong grant 400") {
     // the fixture server's own negative branches — otherwise dead code
     // that could silently rot into accepting a malformed exchange
