@@ -39,4 +39,35 @@ class LiveEndpointSpec extends AnyFunSuite {
     info(s"smoke: ${reply.status}, ${reply.body.length} bytes, " +
       s"${reply.headers.size} headers")
   }
+
+  test("client-credentials mint + bearer round-trip (live if credentialed, else loopback)") {
+    // the X1 production composition: ClientCredentialsMint (Basic
+    // base64 POST) -> TokenProvider cache -> Bearer on the page client,
+    // under RetryingClient's 401-refresh. With all four GRAFT_LIVE_*
+    // vars set it mints against the real token endpoint and reads the
+    // live `total` (the endpoint must serve the reference's
+    // `{"total": N, ...}` envelope); without them the same composition
+    // runs against the credentialed loopback server, so the mint path
+    // crosses a real socket in every CI run — never canceled.
+    def minted(base: String, tokenUrl: String, id: String, secret: String): Long = {
+      val auth = new TokenProvider(mint = Some(
+        new ClientCredentialsMint(new JdkHttpTransport(), tokenUrl, id, secret)))
+      new RetryingClient(
+        new RestPageClient(new JdkHttpTransport(), base, auth),
+        auth = auth).total(None)
+    }
+    (sys.env.get("GRAFT_LIVE_BASE_URL"), sys.env.get("GRAFT_LIVE_TOKEN_URL"),
+     sys.env.get("GRAFT_LIVE_CLIENT_ID"),
+     sys.env.get("GRAFT_LIVE_CLIENT_SECRET")) match {
+      case (Some(b), Some(tu), Some(ci), Some(cs)) =>
+        val n = minted(b, tu, ci, cs)
+        assert(n >= 0, s"live credentialed total must parse: $n")
+        info(s"live credentialed smoke: total=$n")
+      case _ =>
+        LoopbackApi.withCredentialedApi("live-id", "live-secret") { api =>
+          assert(minted(api.base, api.tokenUrl, "live-id", "live-secret") === 100L)
+          assert(api.mintCount.get() === 1, "exactly one credential exchange")
+        }
+    }
+  }
 }
