@@ -56,9 +56,10 @@ final class ClientCredentialsMint(transport: HttpTransport, tokenUrl: String,
             s"no access_token in mint reply from $tokenUrl")
         }
         val ttlSec = j \ "expires_in" match {
-          case JInt(n)  => n.toLong
-          case JLong(n) => n
-          case _        => DefaultExpiresSec
+          case JInt(n)    => n.toLong
+          case JLong(n)   => n
+          case JDouble(n) => n.toLong // some endpoints serialize 3600.0
+          case _          => DefaultExpiresSec
         }
         (token, ttlSec * 1000L)
       case s if s >= 500 =>

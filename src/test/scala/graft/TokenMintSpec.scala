@@ -47,6 +47,9 @@ class TokenMintSpec extends SparkSpec {
     val t = new CannedPost(200, """{"access_token":"abc"}""")
     val mint = new ClientCredentialsMint(t, "u", "i", "s")
     assert(mint() === ("abc", 3600000L))
+    // and reads a float serialization (3600.0) as the number it is
+    val tf = new CannedPost(200, """{"access_token":"abc","expires_in":120.0}""")
+    assert(new ClientCredentialsMint(tf, "u", "i", "s")() === ("abc", 120000L))
   }
 
   test("mint fails fast on 4xx (bad creds are deterministic), retries 5xx") {
