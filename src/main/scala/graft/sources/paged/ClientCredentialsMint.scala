@@ -11,7 +11,12 @@ import org.json4s.jackson.JsonMethods
   * per-JVM [[TokenProvider]] is built on arrival
   * ([[ExecutorAuth.providerFor]]), keyed by this value. */
 final case class MintConfig(tokenUrl: String, clientId: String,
-                            clientSecret: String)
+                            clientSecret: String) {
+  /** Redacted: a case-class toString (and [[Endpoint]]'s, which embeds
+    * this) otherwise prints the secret verbatim into any log, plan
+    * string, or debug dump that renders it. */
+  override def toString: String = s"MintConfig($tokenUrl,$clientId,***)"
+}
 
 /** X1: the OAuth2 client-credentials token mint — the reference's
   * `get_token` (01_TestingPy/Spotify_API.py:16-40). POSTs `tokenUrl`
@@ -41,15 +46,29 @@ final class ClientCredentialsMint(transport: HttpTransport, tokenUrl: String,
   private val DefaultExpiresSec = 3600L
 
   override def apply(): (String, Long) = {
+    // RFC 6749 §2.3.1: each credential is form-urlencoded BEFORE the
+    // ':'-join and base64 — an id/secret containing ':' or non-ASCII is
+    // otherwise ambiguous on the wire. Identity on the alphanumeric
+    // credentials the reference endpoint issues, so this still matches
+    // the reference's raw b64encode (Spotify_API.py:21) byte-for-byte
+    // on every credential that endpoint can hand out.
+    def formEnc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val basic = java.util.Base64.getEncoder.encodeToString(
-      s"$clientId:$clientSecret".getBytes(UTF_8))
+      s"${formEnc(clientId)}:${formEnc(clientSecret)}".getBytes(UTF_8))
     val reply = transport.post(tokenUrl,
       Map("Authorization" -> s"Basic $basic",
           "Content-Type" -> "application/x-www-form-urlencoded"),
       "grant_type=client_credentials")
     reply.status match {
       case ok if ok >= 200 && ok < 300 =>
-        val j = JsonMethods.parse(reply.body)
+        // A 2xx with a body that isn't JSON is deterministic — Jackson's
+        // JsonParseException extends IOException, which RetryingClient
+        // would replay maxRetries times for nothing. Rethrow as the
+        // fail-fast class (same discipline as a changed envelope).
+        val j = try JsonMethods.parse(reply.body) catch {
+          case e: Exception => throw new IllegalStateException(
+            s"malformed JSON in mint reply from $tokenUrl: ${e.getMessage}")
+        }
         val token = j \ "access_token" match {
           case JString(t) if t.nonEmpty => t
           case _ => throw new IllegalStateException(
@@ -62,6 +81,15 @@ final class ClientCredentialsMint(transport: HttpTransport, tokenUrl: String,
           case _          => DefaultExpiresSec
         }
         (token, ttlSec * 1000L)
+      case 429 =>
+        // Token endpoints rate-limit too; the catch-all below would read
+        // a 429 as "check client credentials" and fail the scan fast.
+        // Same transient treatment as the data path: RetryingClient
+        // pauses for the server's Retry-After (seconds form), else backs
+        // off, then replays the mint.
+        val after = reply.headers.get("retry-after")
+          .flatMap(v => scala.util.Try(v.trim.toLong * 1000L).toOption)
+        throw new RateLimitedException(after, tokenUrl)
       case s if s >= 500 =>
         throw new java.io.IOException(s"token endpoint error $s: $tokenUrl")
       case s => throw new IllegalStateException(

@@ -149,14 +149,24 @@ object ExecutorAuth {
   * `None` — transportless backends, where no token endpoint exists —
   * mints a local opaque token with the provider's own ttl. A minted ttl
   * of 0 means the token is already expired: every call re-mints, which
-  * is the honest reading of an endpoint that refuses to cache. */
+  * is the honest reading of an endpoint that refuses to cache.
+  *
+  * `refreshMarginMs`: the token is treated as expiring this much BEFORE
+  * the endpoint's ttl (capped at ttl/2 so short-ttl endpoints keep real
+  * cache coverage). Without it, the first request at/after the boundary
+  * always pays a guaranteed 401 + re-mint round-trip per executor per
+  * ttl; with it, the boundary request re-mints proactively and the 401
+  * path is reserved for genuine revocation. `clock` is injectable so
+  * the margin arithmetic is spec-testable on a fake clock. */
 class TokenProvider(ttlMs: Long = 3600000L,
-                    mint: Option[() => (String, Long)] = None) {
+                    mint: Option[() => (String, Long)] = None,
+                    refreshMarginMs: Long = 30000L,
+                    clock: () => Long = () => System.currentTimeMillis()) {
   @volatile private var cached: Option[(String, Long)] = None
 
   /** A live bearer token, refreshing if absent or expired. */
   def token: String = synchronized {
-    val now = System.currentTimeMillis()
+    val now = clock()
     cached match {
       case Some((t, exp)) if exp > now => t
       case _ =>
@@ -164,7 +174,7 @@ class TokenProvider(ttlMs: Long = 3600000L,
           case Some(m) => m()
           case None    => (s"token-${now}", ttlMs)
         }
-        cached = Some((t, now + ttl))
+        cached = Some((t, now + ttl - math.min(refreshMarginMs, ttl / 2)))
         t
     }
   }

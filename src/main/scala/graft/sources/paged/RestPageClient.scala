@@ -122,7 +122,15 @@ class RestPageClient(transport: HttpTransport, base: String,
     val reply =
       transport.fetch(url, Map("Authorization" -> s"Bearer ${auth.token}"))
     reply.status match {
-      case ok if ok >= 200 && ok < 300 => JsonMethods.parse(reply.body)
+      // A 2xx body that isn't JSON is deterministic (same bytes on every
+      // replay) — but Jackson's JsonParseException extends IOException,
+      // the transient class RetryingClient replays. Rethrow as the
+      // fail-fast class, same as a well-formed-but-changed envelope.
+      case ok if ok >= 200 && ok < 300 =>
+        try JsonMethods.parse(reply.body) catch {
+          case e: Exception => throw new IllegalStateException(
+            s"malformed JSON from $url: ${e.getMessage}")
+        }
       case 401 => throw new UnauthorizedException
       case 429 =>
         // Retry-After (seconds form) rides along so RetryingClient can

@@ -37,7 +37,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 final class LoopbackApi(rows: Seq[(String, String, Int, String)],
                         mangle: String => String = identity,
                         tokenCreds: Option[(String, String)] = None,
-                        tokenTtlSec: Long = 3600L)
+                        tokenTtlSec: Long = 3600L,
+                        enforceTtl: Boolean = false)
     extends AutoCloseable {
 
   val requests = new ConcurrentLinkedQueue[String]()       // query strings seen
@@ -45,8 +46,13 @@ final class LoopbackApi(rows: Seq[(String, String, Int, String)],
   val failures = new ConcurrentLinkedQueue[(Int, Option[Long])]()
   val redirectHits = new java.util.concurrent.atomic.AtomicInteger(0)
   val mintCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Data-route 401 replies actually sent — the observable a
+    * proactive-refresh spec asserts is zero across a ttl boundary. */
+  val unauthorizedCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  // token -> server-side expiry ms (MaxValue unless enforceTtl: most
+  // specs drive CLIENT-side expiry and must not race a server clock)
   private val liveTokens =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Server-side revocation: every previously minted token turns
     * invalid, so the next data request 401s and the client must re-mint
@@ -63,21 +69,34 @@ final class LoopbackApi(rows: Seq[(String, String, Int, String)],
           .getOrElse("")
         // decode, don't re-encode-and-compare: this proves the client's
         // header is real base64 of id:secret, not merely the same bytes
-        // both sides would produce from a shared (possibly broken) encoder
-        val decoded =
+        // both sides would produce from a shared (possibly broken)
+        // encoder. RFC 6749 §2.3.1 server-side algorithm: split the
+        // decoded bytes on the FIRST ':' and form-urldecode each part —
+        // accepts both the plain alphanumeric credential (urlencoding is
+        // identity) and one carrying ':'/'+'/'%'/non-ASCII.
+        val decodedPair: Option[(String, String)] =
           if (auth.startsWith("Basic "))
-            scala.util.Try(new String(java.util.Base64.getDecoder
-              .decode(auth.stripPrefix("Basic ")), "UTF-8")).getOrElse("")
-          else ""
+            scala.util.Try {
+              val raw = new String(java.util.Base64.getDecoder
+                .decode(auth.stripPrefix("Basic ")), "UTF-8")
+              raw.split(":", 2) match {
+                case Array(u, p) =>
+                  (java.net.URLDecoder.decode(u, "UTF-8"),
+                    java.net.URLDecoder.decode(p, "UTF-8"))
+              }
+            }.toOption
+          else None
         if (x.getRequestMethod != "POST")
           respond(x, 405, """{"error":"POST only"}""")
-        else if (decoded != s"$id:$secret")
+        else if (!decodedPair.contains((id, secret)))
           respond(x, 401, """{"error":"invalid_client"}""")
         else if (!body.contains("grant_type=client_credentials"))
           respond(x, 400, """{"error":"unsupported_grant_type"}""")
         else {
           val t = s"tok-${mintCount.incrementAndGet()}"
-          liveTokens.add(t)
+          liveTokens.put(t, if (enforceTtl)
+            System.currentTimeMillis() + tokenTtlSec * 1000L
+          else java.lang.Long.MAX_VALUE)
           respond(x, 200, s"""{"access_token":"$t","token_type":"Bearer","expires_in":$tokenTtlSec}""")
         }
       }
@@ -126,12 +145,14 @@ final class LoopbackApi(rows: Seq[(String, String, Int, String)],
       failures.poll() match {
         case null =>
           // credentialed mode: only tokens THIS server minted (and has
-          // not revoked) may read data — a stub token gets the same 401
-          // a real API would send
-          if (tokenCreds.isDefined &&
-              !liveTokens.contains(authz.stripPrefix("Bearer ")))
+          // not revoked, and — under enforceTtl — not yet expired) may
+          // read data; a stub/stale token gets the 401 a real API sends
+          val live = Option(liveTokens.get(authz.stripPrefix("Bearer ")))
+            .exists(_ > System.currentTimeMillis())
+          if (tokenCreds.isDefined && !live) {
+            unauthorizedCount.incrementAndGet()
             respond(x, 401, """{"error":"invalid_token"}""")
-          else respond(x, 200, mangle(envelope(q)))
+          } else respond(x, 200, mangle(envelope(q)))
         case (status, retryAfterSec) =>
           retryAfterSec.foreach(s => x.getResponseHeaders.add("Retry-After", s.toString))
           respond(x, status, s"""{"error":$status}""")
@@ -188,12 +209,17 @@ object LoopbackApi {
   }
 
   /** Like [[withApi]] but credentialed: the token route is live and the
-    * data route demands a token it minted (see class doc). */
+    * data route demands a token it minted (see class doc). `enforceTtl`
+    * additionally expires tokens SERVER-side at mint + ttl — the mode
+    * the proactive-refresh spec needs (most specs leave it off: they
+    * drive client-side expiry and must not race a server clock). */
   def withCredentialedApi[T](id: String, secret: String,
-                             tokenTtlSec: Long = 3600L)
+                             tokenTtlSec: Long = 3600L,
+                             enforceTtl: Boolean = false)
                             (f: LoopbackApi => T): T = {
     val api = new LoopbackApi(fixtureRows, identity,
-      tokenCreds = Some((id, secret)), tokenTtlSec = tokenTtlSec)
+      tokenCreds = Some((id, secret)), tokenTtlSec = tokenTtlSec,
+      enforceTtl = enforceTtl)
     try f(api) finally api.close()
   }
 }

@@ -16,8 +16,10 @@ import graft.sources.paged._
 class TokenMintSpec extends SparkSpec {
 
   /** Canned POST-capable transport: records the one POST, returns the
-    * scripted reply. */
-  private final class CannedPost(status: Int, body: String)
+    * scripted reply (with response headers, for the 429 Retry-After
+    * path — keys lower-cased like [[JdkHttpTransport]] produces). */
+  private final class CannedPost(status: Int, body: String,
+                                 replyHeaders: Map[String, String] = Map.empty)
       extends HttpTransport {
     var posted: Option[(String, Map[String, String], String)] = None
     override def get(url: String, headers: Map[String, String]) =
@@ -25,7 +27,7 @@ class TokenMintSpec extends SparkSpec {
     override def post(url: String, headers: Map[String, String],
                       body0: String): HttpReply = {
       posted = Some((url, headers, body0))
-      HttpReply(status, body)
+      HttpReply(status, body, replyHeaders)
     }
   }
 
@@ -41,6 +43,62 @@ class TokenMintSpec extends SparkSpec {
     assert(headers("Authorization") === "Basic bXlpZDpteXNlY3JldA==")
     assert(headers("Content-Type") === "application/x-www-form-urlencoded")
     assert(body === "grant_type=client_credentials")
+  }
+
+  test("credentials carrying reserved chars are form-urlencoded before base64 (RFC 6749 §2.3.1)") {
+    // a raw join would put TWO ':' in the decoded string and garble the
+    // '+'/'%'; the expected base64 is an INDEPENDENT python3 literal:
+    // b64encode(quote_plus("c:id/5") + ":" + quote_plus("s e+c%ret"))
+    val t = new CannedPost(200, """{"access_token":"x","expires_in":60}""")
+    new ClientCredentialsMint(t, "u", "c:id/5", "s e+c%ret")()
+    assert(t.posted.get._2("Authorization")
+      === "Basic YyUzQWlkJTJGNTpzK2UlMkJjJTI1cmV0")
+  }
+
+  test("429 at the token endpoint is transient: RateLimitedException w/ Retry-After") {
+    // the pre-fix catch-all read a rate-limited mint as "check client
+    // credentials" and failed the scan fast — token endpoints do
+    // rate-limit, and the data path already treats 429 as pausable
+    val e = intercept[RateLimitedException](new ClientCredentialsMint(
+      new CannedPost(429, "{}", Map("retry-after" -> "2")), "u", "i", "s")())
+    assert(e.retryAfterMs === Some(2000L))
+    // no header -> still the pausable class; backoff supplies the wait
+    assert(intercept[RateLimitedException](new ClientCredentialsMint(
+      new CannedPost(429, "{}"), "u", "i", "s")()).retryAfterMs === None)
+  }
+
+  test("a rate-limited mint inside RetryingClient pauses then replays") {
+    var calls = 0
+    val auth = new TokenProvider(mint = Some { () =>
+      calls += 1
+      if (calls == 1) throw new RateLimitedException(Some(1234L), "tokUrl")
+      ("tok", 60000L)
+    })
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val inner = new PageClient {
+      override def total(market: Option[String]) = 42L
+      override def fetchPage(offset: Long, limit: Int, market: Option[String],
+                             fields: Array[String]) = Seq.empty
+      override def fetchByIds(ids: Seq[String], fields: Array[String]) = Seq.empty
+    }
+    val c = new RetryingClient(inner, auth = auth, sleeper = slept += _)
+    assert(c.total(None) === 42L)
+    assert(calls === 2, "the 429'd mint must be replayed, not fatal")
+    assert(slept.toSeq === Seq(1234L), "the server's Retry-After paces the replay")
+  }
+
+  test("a 2xx mint reply with a non-JSON body fails fast, not retried") {
+    // Jackson's JsonParseException extends IOException — unwrapped, the
+    // deterministic parse failure would replay maxRetries times
+    val e = intercept[IllegalStateException](new ClientCredentialsMint(
+      new CannedPost(200, "<html>proxy login page</html>"), "u", "i", "s")())
+    assert(e.getMessage.contains("malformed JSON"))
+  }
+
+  test("MintConfig (and anything embedding it) never renders the secret") {
+    val cfg = MintConfig("https://a/t", "id9", "sekrit-value")
+    assert(!cfg.toString.contains("sekrit"), cfg.toString)
+    assert(cfg.toString.contains("id9"), "non-secret fields stay debuggable")
   }
 
   test("mint defaults expires_in to 3600s when the endpoint omits it") {
@@ -140,6 +198,70 @@ class TokenMintSpec extends SparkSpec {
       assert(n === 100L)
       assert(api.mintCount.get() >= 2,
         s"expires_in=0 must force a re-mint per request, got ${api.mintCount.get()}")
+    }
+  }
+
+  test("early-refresh margin: the boundary request re-mints proactively (fake clock)") {
+    var now = 1000000L
+    var mints = 0
+    val p = new TokenProvider(
+      mint = Some(() => { mints += 1; (s"t$mints", 100000L) }),
+      clock = () => now)
+    assert(p.token === "t1")
+    now += 69999L // just inside effective expiry (ttl 100s - 30s margin)
+    assert(p.token === "t1")
+    assert(mints === 1)
+    now += 1L // at ttl - margin: re-mint BEFORE the endpoint-side expiry
+    assert(p.token === "t2")
+    assert(mints === 2, "the margin mints proactively — no 401 round-trip")
+    // the margin is capped at ttl/2 so a short-ttl endpoint keeps real
+    // cache coverage: ttl 4s -> margin 2s, cached for 2s not 0
+    var shortMints = 0
+    var now2 = 0L
+    val ps = new TokenProvider(
+      mint = Some(() => { shortMints += 1; (s"s$shortMints", 4000L) }),
+      clock = () => now2)
+    assert(ps.token === "s1"); now2 = 1999L
+    assert(ps.token === "s1"); now2 = 2000L
+    assert(ps.token === "s2")
+    assert(shortMints === 2)
+  }
+
+  test("steady load across a server-enforced ttl boundary issues no 401") {
+    // the end-to-end form of the margin: the server expires tokens at
+    // mint+2s; the client's margin (capped to ttl/2 = 1s) re-mints at
+    // +1s, so no request ever carries a token the server has expired.
+    // Without the margin the first post-boundary request is a
+    // guaranteed 401 + re-mint + replay.
+    LoopbackApi.withCredentialedApi("cid5", "s5", tokenTtlSec = 2L,
+        enforceTtl = true) { api =>
+      val auth = new TokenProvider(mint = Some(new ClientCredentialsMint(
+        new JdkHttpTransport(), api.tokenUrl, "cid5", "s5")))
+      val client = new RetryingClient(
+        new RestPageClient(new JdkHttpTransport(), api.base, auth), auth = auth)
+      val deadline = System.currentTimeMillis() + 2600L
+      while (System.currentTimeMillis() < deadline) {
+        assert(client.total(None) === 100L)
+        Thread.sleep(50L)
+      }
+      assert(api.mintCount.get() >= 2,
+        s"the run must cross a ttl boundary (mints=${api.mintCount.get()})")
+      assert(api.unauthorizedCount.get() === 0,
+        "proactive refresh means the server never saw an expired token")
+    }
+  }
+
+  test("reserved-char credentials round-trip the loopback mint end-to-end") {
+    // client RFC-encodes, server splits-on-first-':' and urldecodes —
+    // proves the two sides implement the SAME §2.3.1 algorithm, not
+    // mirrored bugs (the canned-transport test pins the exact bytes)
+    LoopbackApi.withCredentialedApi("c:id/5", "s e+c%ret") { api =>
+      val auth = new TokenProvider(mint = Some(new ClientCredentialsMint(
+        new JdkHttpTransport(), api.tokenUrl, "c:id/5", "s e+c%ret")))
+      val client = new RetryingClient(
+        new RestPageClient(new JdkHttpTransport(), api.base, auth), auth = auth)
+      assert(client.total(None) === 100L)
+      assert(api.mintCount.get() === 1)
     }
   }
 
