@@ -85,7 +85,11 @@ CLEAN_TICKS=100  # per recorded run (the VERDICT bar for an anchor)
 # tools/ANCHOR_BAND.json (written by --reanchor, carries provenance) >
 # builtin 49/55 fallback (the original round-13..16 ~50-54 s record).
 COHORT_N="${ANCHOR_COHORT_N:-5}"
-BAND_FILE="${ANCHOR_BAND_FILE:-tools/ANCHOR_BAND.json}"
+# script-relative, not cwd-relative: the cd above normally lands at the
+# repo root, but the band must resolve even if this file is invoked in a
+# context where that cd is skipped/removed — a silently ignored
+# re-anchored band falls back to the builtin 49/55 with no error
+BAND_FILE="${ANCHOR_BAND_FILE:-$(dirname "$SELF")/ANCHOR_BAND.json}"
 band_from_file() { # <key> <fallback>
   python3 - "$BAND_FILE" "$1" "$2" <<'EOF'
 import json, sys

@@ -249,6 +249,18 @@ def summary(runs):
             len(d.get("failed", [])),
             fmt(l0), fmt(l1), fmt(steal_delta(d), "{:d}"),
             non_comparable(d)))
+        # round-18 per-query self-adjudication: surface the line's own
+        # suspect verdict (band-breaching queries + their clean-covariate
+        # re-run samples) so triage reads it without opening the JSON
+        for q in d.get("suspect") or []:
+            det = (d.get("suspect_detail") or {}).get(q, {})
+            rr = det.get("rerun")
+            verdict = ("rerun {:.2f}s".format(rr) if isinstance(rr, (int, float))
+                       and not isinstance(rr, bool) else "no rerun (dirty run)")
+            print("    suspect {}: min {} vs band median {} (n={}) — {}".format(
+                q, fmt(det.get("min"), "{:.2f}"),
+                fmt(det.get("band_median"), "{:.2f}"), det.get("n", "-"),
+                verdict))
 
 
 def one_query(runs, q):
