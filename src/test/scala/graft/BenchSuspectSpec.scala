@@ -50,14 +50,17 @@ class BenchSuspectSpec extends AnyFunSuite {
     // the r17 case: 12.46 vs band ~4 -> flagged with the band evidence
     assert(Bench.suspectsOf(Map("big" -> 12.46), hist)
       === Map("big" -> ((4.0, 5))))
+    // the r15 case: 6.4 vs band ~4 (1.6x) — the incident the 1.5 ratio
+    // exists to catch (a 2.0 bar missed it on the real history replay)
+    assert(Bench.suspectsOf(Map("big" -> 6.4), hist).keySet === Set("big"))
     // in band -> clean
     assert(Bench.suspectsOf(Map("big" -> 4.5), hist).isEmpty)
-    // 2x breached but under the absolute floor: scheduler jitter on a
-    // sub-second query must not flag (0.35 is 3.5x but only +0.25s)
+    // ratio breached but under the absolute floor: scheduler jitter on
+    // a sub-second query must not flag (0.35 is 3.5x but only +0.25s)
     assert(Bench.suspectsOf(Map("tiny" -> 0.35), hist).isEmpty)
-    // floor cleared but ratio not: a +0.6s drift on a 4s query is the
-    // diffuse-weather band, not a spike
-    assert(Bench.suspectsOf(Map("big" -> 4.6), hist).isEmpty)
+    // floor cleared but ratio not: a +1.1s drift to 1.28x on a 4s query
+    // is the diffuse-weather band, not a spike
+    assert(Bench.suspectsOf(Map("big" -> 5.1), hist).isEmpty)
     // thin history never flags; unknown query never flags
     assert(Bench.suspectsOf(Map("thin" -> 99.0, "new" -> 99.0), hist).isEmpty)
   }
