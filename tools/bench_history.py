@@ -4,6 +4,10 @@
 Usage:
   python3 tools/bench_history.py                 # one summary row per run
   python3 tools/bench_history.py d57_containment # that query across runs
+  python3 tools/bench_history.py --suspect-replay # replay every line
+      # against its own-time bands (the round-18 suspect rule); prints
+      # the flagged lines with covariate state — on the real history,
+      # exactly the r15/r17 d57 incidents as the only clean flags
 
 Summary columns end with the round-13 machine-load covariates: loadavg
 at run start/end (1-minute average) and the start->end steal-tick delta
@@ -113,6 +117,13 @@ SUSPECT_STEAL_DELTA = 400
 SUSPECT_DISPERSION_RATIO = 20.0
 SUSPECT_DISPERSION_COUNT = 2
 DISPERSION_MIN_SEC = 0.2
+# Suspect-band thresholds (round 18) — keep in sync with Bench.scala's
+# SuspectRatio / SuspectFloorSec / SuspectMinHistory (each side's
+# selftest pins its own copy; the calibration sweep that set 1.5 lives
+# at the Bench constants and is reproducible via --suspect-replay).
+SUSPECT_RATIO = 1.5
+SUSPECT_FLOOR_SEC = 0.5
+SUSPECT_MIN_HISTORY = 5
 # --compare classification bars (rationale in the module docstring):
 COMPARE_MIN_SEC = 0.05      # base-run floor; faster queries are timer noise
 COMPARE_ELEVATED = 1.05     # a query counts as elevated past this ratio
@@ -299,6 +310,65 @@ def query_mins(d):
     for q, v in (d.get("queries") or {}).items():   # pre-samples lines
         out.setdefault(q, v)
     return out
+
+
+def suspect_hits(best, hist):
+    """The flagged queries for one run's per-query mins against a band
+    map — the same rule graft.Bench applies in-run: min > SUSPECT_RATIO
+    x the band median AND excess > SUSPECT_FLOOR_SEC, with at least
+    SUSPECT_MIN_HISTORY comparable history mins behind the band."""
+    import statistics
+    hits = []
+    for q, v in sorted(best.items()):
+        mins = hist.get(q)
+        if mins and len(mins) >= SUSPECT_MIN_HISTORY:
+            med = statistics.median(mins)
+            if v > SUSPECT_RATIO * med and v - med > SUSPECT_FLOOR_SEC:
+                hits.append((q, v, med, len(mins)))
+    return hits
+
+
+def suspect_replay(runs, cpus=32, sf=0.1):
+    """Replay every line in one (cpus, sf, ordered-headline) cohort
+    against the bands available at its own timestamp — the reproducible
+    form of the calibration sweep that set SUSPECT_RATIO (graft.Bench
+    applies the same rule in-run since round 18). Bands are fed by
+    comparable (noncomparable:false) lines only, exactly as Bench's
+    lineQueryMins filters; every cohort line is judged, so a dirty
+    line's flags print too (self-explained by its covariates, shown).
+    On the real history this prints exactly the r15 6.4s and r17 12.46s
+    d57 incidents as the only clean flagged lines."""
+    hist = {}
+    judged = flagged = 0
+    for d in runs:
+        try:
+            line_cpus = int(d.get("cpus"))
+        except (TypeError, ValueError):
+            continue
+        if (line_cpus != cpus or d.get("sf_num") != sf
+                or d.get("mode") not in ("both", "ordered")):
+            continue
+        best = query_mins(d)
+        if not best:
+            continue
+        judged += 1
+        hits = suspect_hits(best, hist)
+        if hits:
+            flagged += 1
+            clean = d.get("noncomparable") is False
+            print("{} sha={} steal_d={} [{}]".format(
+                d.get("ts", "-")[:19], str(d.get("sha", "-"))[:8],
+                fmt(steal_delta(d), "{:d}"),
+                "CLEAN — the incident class the in-run check catches"
+                if clean else "dirty/unknown — already self-explained"))
+            for q, v, med, n in hits:
+                print("    {}: {:.2f}s vs band median {:.2f} "
+                      "(n={}, {:.2f}x)".format(q, v, med, n, v / med))
+        if d.get("noncomparable") is False:
+            for q, v in best.items():
+                hist.setdefault(q, []).append(v)
+    print("{} of {} ({} cpus, sf {:g}) cohort lines would flag".format(
+        flagged, judged, cpus, sf))
 
 
 def classify(ratios):
@@ -499,6 +569,14 @@ def selftest():
         pass
     # band_info: a missing/garbled band file is None, never a crash
     assert band_info(path="/nonexistent/band.json") is None
+    # suspect rule: the r15 shape (6.4 vs ~3.86 band) flags, in-band and
+    # floor-guarded values don't, thin history never does — mirrors
+    # BenchSuspectSpec's pins so the two copies can't drift silently
+    band = {"d57": [3.86] * 5, "tiny": [0.1] * 5, "thin": [1.0] * 2}
+    assert [h[0] for h in suspect_hits({"d57": 6.4}, band)] == ["d57"]
+    assert suspect_hits({"d57": 4.5}, band) == []      # in band
+    assert suspect_hits({"tiny": 0.35}, band) == []    # ratio but no floor
+    assert suspect_hits({"thin": 99.0}, band) == []    # thin history
     print("selftest OK")
 
 
@@ -527,6 +605,14 @@ if __name__ == "__main__":
             else:
                 sys.exit("--compare needs base ts prefix(es) — or "
                          "--band SHA_PREFIX — plus a candidate ts")
+        elif args and args[0] == "--suspect-replay":
+            rest = args[1:]
+            if rest and len(rest) != 2:
+                sys.exit("--suspect-replay [CPUS SF] (default 32 0.1)")
+            if rest:
+                suspect_replay(load(path), int(rest[0]), float(rest[1]))
+            else:
+                suspect_replay(load(path))
         elif args:
             one_query(load(path), args[0])
         else:
