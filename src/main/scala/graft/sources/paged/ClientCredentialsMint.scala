@@ -85,11 +85,9 @@ final class ClientCredentialsMint(transport: HttpTransport, tokenUrl: String,
         // Token endpoints rate-limit too; the catch-all below would read
         // a 429 as "check client credentials" and fail the scan fast.
         // Same transient treatment as the data path: RetryingClient
-        // pauses for the server's Retry-After (seconds form), else backs
-        // off, then replays the mint.
-        val after = reply.headers.get("retry-after")
-          .flatMap(v => scala.util.Try(v.trim.toLong * 1000L).toOption)
-        throw new RateLimitedException(after, tokenUrl)
+        // pauses for the server's Retry-After, else backs off, then
+        // replays the mint.
+        throw new RateLimitedException(reply.retryAfterMs, tokenUrl)
       case s if s >= 500 =>
         throw new java.io.IOException(s"token endpoint error $s: $tokenUrl")
       case s => throw new IllegalStateException(

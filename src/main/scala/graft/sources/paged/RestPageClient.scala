@@ -40,7 +40,14 @@ trait HttpTransport {
 /** A transport response. `headers` keys are lower-cased on construction
   * by transports that override [[HttpTransport.fetch]]. */
 final case class HttpReply(status: Int, body: String,
-                           headers: Map[String, String] = Map.empty)
+                           headers: Map[String, String] = Map.empty) {
+  /** `Retry-After` in milliseconds (seconds form only — the form the
+    * reference endpoint sends), None when absent/unparseable. Shared by
+    * the data path's and the token mint's 429 handling so the two can't
+    * silently diverge. */
+  def retryAfterMs: Option[Long] = headers.get("retry-after")
+    .flatMap(v => scala.util.Try(v.trim.toLong * 1000L).toOption)
+}
 
 /** JDK-11+ `java.net.http` transport — the production default. No
   * third-party dependency; per-executor instances are cheap (the JDK
@@ -133,11 +140,9 @@ class RestPageClient(transport: HttpTransport, base: String,
         }
       case 401 => throw new UnauthorizedException
       case 429 =>
-        // Retry-After (seconds form) rides along so RetryingClient can
-        // honor the server's own pacing instead of a blind backoff.
-        val after = reply.headers.get("retry-after")
-          .flatMap(v => scala.util.Try(v.trim.toLong * 1000L).toOption)
-        throw new RateLimitedException(after, url)
+        // Retry-After rides along so RetryingClient can honor the
+        // server's own pacing instead of a blind backoff.
+        throw new RateLimitedException(reply.retryAfterMs, url)
       case s if s >= 500 => throw new java.io.IOException(s"server error $s: $url")
       case s => throw new IllegalStateException(s"unexpected status $s: $url")
     }

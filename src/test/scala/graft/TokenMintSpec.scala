@@ -229,17 +229,20 @@ class TokenMintSpec extends SparkSpec {
 
   test("steady load across a server-enforced ttl boundary issues no 401") {
     // the end-to-end form of the margin: the server expires tokens at
-    // mint+2s; the client's margin (capped to ttl/2 = 1s) re-mints at
-    // +1s, so no request ever carries a token the server has expired.
+    // mint+4s; the client's margin (capped to ttl/2 = 2s) re-mints at
+    // +2s, so no request ever carries a token the server has expired.
     // Without the margin the first post-boundary request is a
-    // guaranteed 401 + re-mint + replay.
-    LoopbackApi.withCredentialedApi("cid5", "s5", tokenTtlSec = 2L,
+    // guaranteed 401 + re-mint + replay. ttl 4s (not a tighter 2s)
+    // buys 2 full seconds of client-valid-but-server-fresh slack, so a
+    // GC/steal stall between the client's token check and the server's
+    // clock read needs to exceed 2s to flake this on a stormy host.
+    LoopbackApi.withCredentialedApi("cid5", "s5", tokenTtlSec = 4L,
         enforceTtl = true) { api =>
       val auth = new TokenProvider(mint = Some(new ClientCredentialsMint(
         new JdkHttpTransport(), api.tokenUrl, "cid5", "s5")))
       val client = new RetryingClient(
         new RestPageClient(new JdkHttpTransport(), api.base, auth), auth = auth)
-      val deadline = System.currentTimeMillis() + 2600L
+      val deadline = System.currentTimeMillis() + 4600L
       while (System.currentTimeMillis() < deadline) {
         assert(client.total(None) === 100L)
         Thread.sleep(50L)

@@ -266,8 +266,17 @@ def summary(runs):
         for q in d.get("suspect") or []:
             det = (d.get("suspect_detail") or {}).get(q, {})
             rr = det.get("rerun")
-            verdict = ("rerun {:.2f}s".format(rr) if isinstance(rr, (int, float))
-                       and not isinstance(rr, bool) else "no rerun (dirty run)")
+            # rerun is null in three distinct cases Bench produces —
+            # name the right one, or triage gets misdirected: dirty run
+            # (rerun never attempted), unknown covariates (same gate),
+            # clean run whose rerun attempt itself threw
+            nc = d.get("noncomparable")
+            verdict = ("rerun {:.2f}s".format(rr)
+                       if isinstance(rr, (int, float))
+                       and not isinstance(rr, bool)
+                       else "no rerun (dirty run)" if nc is True
+                       else "no rerun (covariates unknown)" if nc is None
+                       else "no rerun (clean run, rerun attempt failed)")
             print("    suspect {}: min {} vs band median {} (n={}) — {}".format(
                 q, fmt(det.get("min"), "{:.2f}"),
                 fmt(det.get("band_median"), "{:.2f}"), det.get("n", "-"),
