@@ -142,44 +142,60 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
-  /** Per-query minimum extracted from ONE history line, empty unless the
-    * line is usable as band evidence for this run's cohort: same cpus
-    * (number, or the round-13 string vintage), same sf_num, same
-    * headline-mode cohort (ordered headline = mode both|ordered;
-    * unordered headline = mode unordered — the two time different
-    * plans), and self-adjudicated `noncomparable:false` (absent/null =
-    * unknown, and unknown is not clean). Unparseable lines are empty,
-    * never fatal: the band check must not be able to break a bench. */
-  private[graft] def lineQueryMins(line: String, cpus: Int,
-      sfNum: Option[Double], headlineOrdered: Boolean): Map[String, Double] =
+  /** JSON number as Double across json4s's numeric encodings; None for
+    * anything else (including bool — json4s keeps them distinct). */
+  private def jnum(v: org.json4s.JValue): Option[Double] = {
+    import org.json4s._
+    v match {
+      case JDouble(d)  => Some(d)
+      case JInt(n)     => Some(n.toDouble)
+      case JLong(n)    => Some(n.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case _           => None
+    }
+  }
+
+  /** ONE history line parsed, returned only if it is usable as evidence
+    * for this run's cohort: same cpus (number, or the round-13 string
+    * vintage), same sf_num, same headline-mode cohort (ordered headline
+    * = mode both|ordered; unordered headline = mode unordered — the two
+    * time different plans), and self-adjudicated `noncomparable:false`
+    * (absent/null = unknown, and unknown is not clean). Unparseable or
+    * foreign lines are None, never fatal: history checks must not be
+    * able to break a bench. Shared by the band builder
+    * ([[lineQueryMins]]) and the prior-lead reader ([[openLeadsOf]]) so
+    * the two features can never disagree on what "comparable" means. */
+  private[graft] def parseComparable(line: String, cpus: Int,
+      sfNum: Option[Double], headlineOrdered: Boolean): Option[org.json4s.JValue] =
     try {
       import org.json4s._
       val j = org.json4s.jackson.JsonMethods.parse(line)
-      def num(v: JValue): Option[Double] = v match {
-        case JDouble(d)  => Some(d)
-        case JInt(n)     => Some(n.toDouble)
-        case JLong(n)    => Some(n.toDouble)
-        case JDecimal(d) => Some(d.toDouble)
-        case _           => None
-      }
       val cpusOk = (j \ "cpus") match {
         case JString(s) => s.toIntOption.contains(cpus) // round-13 vintage
-        case v          => num(v).contains(cpus.toDouble)
+        case v          => jnum(v).contains(cpus.toDouble)
       }
-      val sfOk = sfNum.exists(x => num(j \ "sf_num").contains(x))
+      val sfOk = sfNum.exists(x => jnum(j \ "sf_num").contains(x))
       val modeOk = (j \ "mode") match {
         case JString(m) =>
           if (headlineOrdered) m == "both" || m == "ordered" else m == "unordered"
         case _ => false
       }
       val cleanOk = (j \ "noncomparable") == JBool(false)
-      if (!(cpusOk && sfOk && modeOk && cleanOk)) Map.empty
-      else (j \ "samples") match {
+      if (cpusOk && sfOk && modeOk && cleanOk) Some(j) else None
+    } catch { case _: Exception => None }
+
+  /** Per-query minimum extracted from ONE history line, empty unless
+    * [[parseComparable]] accepts it for this cohort. */
+  private[graft] def lineQueryMins(line: String, cpus: Int,
+      sfNum: Option[Double], headlineOrdered: Boolean): Map[String, Double] =
+    parseComparable(line, cpus, sfNum, headlineOrdered).map { j =>
+      import org.json4s._
+      val mins: Map[String, Double] = (j \ "samples") match {
         case JObject(fields) =>
           fields.flatMap { case (name, v) =>
             v match {
               case JArray(vs) =>
-                val ds = vs.flatMap(num)
+                val ds = vs.flatMap(jnum)
                 if (ds.nonEmpty) Some(name -> ds.min) else None
               case _ => None
             }
@@ -187,11 +203,12 @@ object Bench {
         case _ => // pre-samples vintage: per-query mins live in `queries`
           (j \ "queries") match {
             case JObject(fields) =>
-              fields.flatMap { case (name, v) => num(v).map(name -> _) }.toMap
+              fields.flatMap { case (name, v) => jnum(v).map(name -> _) }.toMap
             case _ => Map.empty
           }
       }
-    } catch { case _: Exception => Map.empty }
+      mins
+    }.getOrElse(Map.empty)
 
   /** All comparable-history per-query mins for this cohort, accumulated
     * across the history file. Missing/unreadable file → empty (first
@@ -242,6 +259,114 @@ object Bench {
     }.mkString("{", ",", "}")
     s""""suspect":$names,"suspect_detail":$detail,""" +
       s""""rerun_steal_delta":${rerunStealD.map(_.toString).getOrElse("null")}"""
+  }
+
+  // ── Prior-lead adjudication (the reading rule, automated) ──────────
+  // A suspect whose clean-covariate re-run REPEATED the elevation is a
+  // lead, not yet a regression: a sticky-state transient (JIT deopt /
+  // GC / page cache pinned in that JVM) repeats within its own process,
+  // while a plan regression also reproduces on the next fresh run. The
+  // q42 firing (2026-08-15) was exactly this shape — rerun 3.58 s
+  // "confirmed" the 3.22 s breach, and the next comparable run 17 min
+  // later read 1.96 s, dead on median — but closing it took a human
+  // reading BENCH_HISTORY against the git log. Each run now closes the
+  // loop itself: it reads the MOST RECENT comparable cohort line, and
+  // if that line carries open suspects (re-run repeated the breach, or
+  // never ran), this run's own min for each such query adjudicates the
+  // lead on the record — `refuted` (back in band: transient) or
+  // `confirmed` (breached again on a fresh pass: bisect now).
+
+  /** The prior line's open leads: ts, sha, and for each suspect that did
+    * NOT self-clear (rerun absent, or rerun still over ratio+floor vs
+    * the band median recorded on that line), its min and rerun. None
+    * when the line isn't cohort-comparable; Some with an empty map when
+    * it is but has nothing open (including a self-cleared suspect —
+    * that lead is already settled as weather, on its own line). */
+  private[graft] def openLeadsOf(line: String, cpus: Int,
+      sfNum: Option[Double], headlineOrdered: Boolean)
+      : Option[(String, String, Map[String, (Double, Option[Double])])] =
+    parseComparable(line, cpus, sfNum, headlineOrdered).map { j =>
+      import org.json4s._
+      def str(v: JValue): String = v match {
+        case JString(s) => s
+        case _          => "unknown"
+      }
+      val leads = (j \ "suspect_detail") match {
+        case JObject(fields) =>
+          fields.flatMap { case (q, d) =>
+            for {
+              min <- jnum(d \ "min")
+              med <- jnum(d \ "band_median")
+              rerun = jnum(d \ "rerun")
+              open = rerun match {
+                case None    => true // never adjudicated (dirty covariates / rerun failed)
+                case Some(r) => r > SuspectRatio * med && r - med > SuspectFloorSec
+              }
+              if open
+            } yield q -> ((min, rerun))
+          }.toMap
+        case _ => Map.empty[String, (Double, Option[Double])]
+      }
+      (str(j \ "ts"), str(j \ "sha"), leads)
+    }
+
+  /** The open leads of the LAST cohort-comparable line in the history
+    * file — the "next comparable line" rule needs exactly the adjacent
+    * one: an older lead either was already adjudicated by an
+    * intervening comparable line or re-fired there (making THAT the
+    * adjacent lead). Missing/unreadable file → None, never fatal. */
+  private[graft] def lastOpenLeads(path: String, cpus: Int,
+      sfNum: Option[Double], headlineOrdered: Boolean)
+      : Option[(String, String, Map[String, (Double, Option[Double])])] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try {
+        var last: Option[(String, String, Map[String, (Double, Option[Double])])] = None
+        for (line <- src.getLines();
+             parsed <- openLeadsOf(line, cpus, sfNum, headlineOrdered))
+          last = Some(parsed)
+        last
+      } finally src.close()
+    } catch { case _: Exception => None }
+
+  /** Verdict per open lead, from THIS run's evidence: `confirmed` when
+    * this run independently re-flagged the query (same ratio+floor rule
+    * against the same comparable-history band — [[suspectsOf]] is the
+    * single definition of "breached"), `refuted` when it ran in band,
+    * None (serialized null: unadjudicated) when it failed or didn't run
+    * this time. */
+  private[graft] def adjudicate(leads: Map[String, (Double, Option[Double])],
+      best: Map[String, Double], suspect: Map[String, (Double, Int)],
+      failed: Set[String]): Map[String, Option[String]] =
+    leads.map { case (q, _) =>
+      q -> (if (failed(q) || !best.contains(q)) None
+            else if (suspect.contains(q)) Some("confirmed")
+            else Some("refuted"))
+    }
+
+  /** The prior-lead block for the line's tail: per-query prior evidence
+    * (that line's min and repeated/absent rerun), this run's min (null
+    * if it failed), and the verdict; plus a src object naming the
+    * adjudicated line (ts, sha) and whether this run is a fresh JVM
+    * relative to it (a same-process repeat can clear a JIT/GC
+    * transient, but only a fresh process is regression-grade
+    * refutation). `"prior_suspect":{},"prior_suspect_src":null` when
+    * there was nothing open. */
+  private[graft] def priorSuspectJson(
+      leads: Map[String, (Double, Option[Double])],
+      src: Option[(String, String)], freshJvm: Boolean,
+      best: Map[String, Double],
+      verdicts: Map[String, Option[String]]): String = {
+    val body = leads.toSeq.sortBy(_._1).map { case (q, (pMin, pRerun)) =>
+      s""""$q":{"prior_min":$pMin,""" +
+        s""""prior_rerun":${pRerun.map(_.toString).getOrElse("null")},""" +
+        s""""min":${best.get(q).map(_.toString).getOrElse("null")},""" +
+        s""""verdict":${verdicts.get(q).flatten.map("\"" + _ + "\"").getOrElse("null")}}"""
+    }.mkString("{", ",", "}")
+    val srcJson = src.map { case (ts, sha) =>
+      s"""{"ts":${jsonStr(ts)},"sha":${jsonStr(sha)},"fresh_jvm":$freshJvm}"""
+    }.getOrElse("null")
+    s""""prior_suspect":$body,"prior_suspect_src":$srcJson"""
   }
 
   /** Best-effort numeric scale factor parsed from the testdata dir name
@@ -410,6 +535,12 @@ object Bench {
     // independently adjudicable bench run. Warm-up above runs once —
     // repeat 1 is the cold-est run, later repeats are warmer, which the
     // history's jvm_run index discloses.
+    // Whether this process has already appended a comparable history
+    // line: a later repeat's prior-lead adjudication then targets its
+    // own predecessor — same JVM, disclosed as fresh_jvm:false (a
+    // same-process repeat can clear a JIT/GC transient, but only a
+    // fresh process is regression-grade evidence).
+    var appendedComparable = false
     for (jvmRun <- 1 to repeat) {
     // load covariates bracket the run: read before the first timed round…
     val loadStart = readLoadAvg()
@@ -483,6 +614,18 @@ object Bench {
       }.flatten.toMap
     val rerunStealD =
       if (rerun.isEmpty) None else stealDeltaOf(stealEnd, readStealTicks())
+    // Prior-lead adjudication (the reading rule, automated): does the
+    // most recent comparable line carry suspects its own re-run could
+    // not clear? Only a comparable run adjudicates — a disturbed run's
+    // numbers can neither refute nor confirm, and skipping it leaves
+    // the lead line as the cohort's most recent comparable line, so the
+    // NEXT clean run picks it up instead.
+    val prior =
+      if (!noncmp.contains(false)) None
+      else lastOpenLeads("BENCH_HISTORY.jsonl", cpus, sfNumber(sfDir),
+        headlineOrdered).filter(_._3.nonEmpty)
+    val priorLeads = prior.map(_._3).getOrElse(Map.empty)
+    val priorVerdicts = adjudicate(priorLeads, best.toMap, suspect, failed)
     def mapJson(m: Map[String, String]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -520,7 +663,7 @@ object Bench {
     // unstripped minus failed: a query recorded as unstripped in an early
     // round but failing a later one would otherwise sit in two mutually
     // inconsistent cohorts (unstripped AND failed-with-no-samples).
-    val line = s"""{${lineHead(mode, cpus, sfDir, covStart, covEnd)},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total,${suspectJson(suspect, best.toMap, rerun, rerunStealD)},${verdictFields(stealD, noncmp)}}"""
+    val line = s"""{${lineHead(mode, cpus, sfDir, covStart, covEnd)},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total,${suspectJson(suspect, best.toMap, rerun, rerunStealD)},${priorSuspectJson(priorLeads, prior.map(p => (p._1, p._2)), !appendedComparable, best.toMap, priorVerdicts)},${verdictFields(stealD, noncmp)}}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(line) finally w.close()
@@ -535,6 +678,9 @@ object Bench {
       try w.write(historyLine(line, java.time.Instant.now.toString, sha,
         jvmRun) + "\n")
       finally w.close()
+      // only after a successful append: a failed write leaves the prior
+      // comparable line foreign-process, so fresh_jvm must stay true
+      if (noncmp.contains(false)) appendedComparable = true
     } catch { case _: Exception => () }
     println(line)
     } // for jvmRun

@@ -129,6 +129,124 @@ class BenchSuspectSpec extends AnyFunSuite {
     assert(Bench.historyBands("/no/such/file.jsonl", 32, Some(0.1), true).isEmpty)
   }
 
+  // ── Prior-lead adjudication (the reading rule, automated) ──────────
+
+  /** A line carrying q42 at `min` with an optional suspect block —
+    * built with the REAL serializers, spliced exactly where main() puts
+    * them (suspect between value and the verdict tail). The r18 q42
+    * incident's numbers are the defaults of the tests below. */
+  private def leadLine(min: Double, med: Double = 2.05,
+                       rerun: Option[Double] = None, flagged: Boolean = true,
+                       clean: Boolean = true, sha: String = "c" * 40): String = {
+    val cov = Bench.covariateJson(Some((1.0, 1.0, 1.0)), Some(0L))
+    val sus =
+      if (flagged) Bench.suspectJson(Map("q42" -> ((med, 9))),
+        Map("q42" -> min), rerun.map("q42" -> _).toMap, rerun.map(_ => 1L))
+      else Bench.suspectJson(Map.empty, Map.empty, Map.empty, None)
+    val body = s"""{${Bench.lineHead("both", 32, "/root/testdata/sf0.1", cov, cov)},""" +
+      s""""samples":{"q42":[${min + 0.4},$min],"q01":[1.1,1.0]},""" +
+      s""""queries":{"q42":$min,"q01":1.0},""" +
+      s""""failed":[],"value":${min + 1.0},$sus,""" +
+      s"""${Bench.verdictFields(Some(if (clean) 0L else 9999L), Some(!clean))}}"""
+    Bench.historyLine(body, "2026-08-15T01:00:00Z", sha, 1)
+  }
+
+  test("openLeadsOf: a rerun-repeated suspect is an open lead, with provenance") {
+    // the r18 q42 shape: min 3.22 vs band 2.05, rerun 3.58 — repeated
+    val Some((ts, sha, leads)) = Bench.openLeadsOf(
+      leadLine(3.22, rerun = Some(3.58)), 32, Some(0.1), headlineOrdered = true)
+    assert(ts === "2026-08-15T01:00:00Z" && sha === "c" * 40)
+    assert(leads === Map("q42" -> ((3.22, Some(3.58)))))
+    // a rerun that never happened (dirty-covariate path) is still open
+    assert(Bench.openLeadsOf(leadLine(3.22, rerun = None), 32, Some(0.1), true)
+      .exists(_._3 === Map("q42" -> ((3.22, None)))))
+  }
+
+  test("openLeadsOf: self-cleared and unflagged lines carry no open lead") {
+    // rerun back at band (the q10 firing's shape): settled as weather
+    assert(Bench.openLeadsOf(leadLine(3.22, rerun = Some(2.1)), 32, Some(0.1), true)
+      .exists(_._3.isEmpty))
+    // no suspect block at all (in-band run / pre-feature vintage)
+    assert(Bench.openLeadsOf(leadLine(1.96, flagged = false), 32, Some(0.1), true)
+      .exists(_._3.isEmpty))
+    assert(Bench.openLeadsOf(syntheticLine(4.0), 32, Some(0.1), true)
+      .exists(_._3.isEmpty))
+    // foreign/dirty lines are not evidence at all
+    assert(Bench.openLeadsOf(leadLine(3.22, clean = false), 32, Some(0.1), true).isEmpty)
+    assert(Bench.openLeadsOf("not json", 32, Some(0.1), true).isEmpty)
+  }
+
+  test("lastOpenLeads: adjacent comparable line only; dirty lines skipped") {
+    // lead line, then a dirty line: the lead is still the adjacent
+    // comparable line — a disturbed run must not close it
+    val f1 = tmpFile(Seq(leadLine(3.22, rerun = Some(3.58)),
+      leadLine(30.0, clean = false)).mkString("", "\n", "\n"))
+    assert(Bench.lastOpenLeads(f1, 32, Some(0.1), true)
+      .exists(_._3 === Map("q42" -> ((3.22, Some(3.58))))))
+    // a later comparable line closes it (whatever its own content)
+    val f2 = tmpFile(Seq(leadLine(3.22, rerun = Some(3.58)),
+      leadLine(1.96, flagged = false)).mkString("", "\n", "\n"))
+    assert(Bench.lastOpenLeads(f2, 32, Some(0.1), true).exists(_._3.isEmpty))
+    assert(Bench.lastOpenLeads("/no/such/file.jsonl", 32, Some(0.1), true).isEmpty)
+  }
+
+  test("adjudicate: re-flagged = confirmed, in-band = refuted, absent = null") {
+    val leads = Map("q42" -> ((3.22, Option(3.58))), "gone" -> ((9.0, Option(9.0))))
+    // in-band this run (the real outcome: 1.96, not re-flagged) -> refuted
+    assert(Bench.adjudicate(leads, Map("q42" -> 1.96), Map.empty, Set("gone"))
+      === Map("q42" -> Some("refuted"), "gone" -> None))
+    // re-flagged this run -> confirmed (a regression reproduces)
+    assert(Bench.adjudicate(Map("q42" -> ((3.22, Option(3.58)))),
+      Map("q42" -> 3.3), Map("q42" -> ((2.05, 10))), Set.empty)
+      === Map("q42" -> Some("confirmed")))
+  }
+
+  test("END-TO-END: the q42 incident replayed — next comparable line refutes") {
+    // six clean in-band lines, the open-lead line, one dirty line after
+    val hist = tmpFile((Seq(2.0, 2.1, 1.9, 2.05, 2.0, 2.1).map(v =>
+      leadLine(v, flagged = false)) ++
+      Seq(leadLine(3.22, rerun = Some(3.58)), leadLine(30.0, clean = false)))
+      .mkString("", "\n", "\n"))
+    val bands = Bench.historyBands(hist, 32, Some(0.1), headlineOrdered = true)
+    val Some((_, _, leads)) = Bench.lastOpenLeads(hist, 32, Some(0.1), true)
+    assert(leads.keySet === Set("q42"))
+    // this run reads 1.96: not re-flagged against the same bands -> refuted
+    val best = Map("q42" -> 1.96, "q01" -> 1.0)
+    val sus = Bench.suspectsOf(best, bands)
+    assert(sus.isEmpty)
+    assert(Bench.adjudicate(leads, best, sus, Set.empty)
+      === Map("q42" -> Some("refuted")))
+    // ...and at 3.3 it IS re-flagged against the same bands -> confirmed
+    val best2 = Map("q42" -> 3.3, "q01" -> 1.0)
+    val sus2 = Bench.suspectsOf(best2, bands)
+    assert(sus2.contains("q42"))
+    assert(Bench.adjudicate(leads, best2, sus2, Set.empty)
+      === Map("q42" -> Some("confirmed")))
+  }
+
+  test("priorSuspectJson: evidence + verdict + src, parseable, null-safe") {
+    val j = JsonMethods.parse("{" + Bench.priorSuspectJson(
+      Map("q42" -> ((3.22, Option(3.58))), "gone" -> ((9.0, Option.empty[Double]))),
+      Some(("2026-08-15T01:00:00Z", "c" * 40)), freshJvm = true,
+      Map("q42" -> 1.96),
+      Map("q42" -> Some("refuted"), "gone" -> None)) + "}")
+    val q = j \ "prior_suspect" \ "q42"
+    assert(q \ "prior_min" === JDouble(3.22))
+    assert(q \ "prior_rerun" === JDouble(3.58))
+    assert(q \ "min" === JDouble(1.96))
+    assert(q \ "verdict" === JString("refuted"))
+    // a lead whose query failed/didn't run this time: nulls, verdict open
+    val g = j \ "prior_suspect" \ "gone"
+    assert(g \ "prior_rerun" === JNull && g \ "min" === JNull && g \ "verdict" === JNull)
+    assert(j \ "prior_suspect_src" \ "sha" === JString("c" * 40))
+    assert(j \ "prior_suspect_src" \ "fresh_jvm" === JBool(true))
+    // the nothing-open shape
+    val empty = JsonMethods.parse("{" + Bench.priorSuspectJson(
+      Map.empty, None, freshJvm = true, Map.empty, Map.empty) + "}")
+    assert(empty \ "prior_suspect" === JObject(Nil))
+    assert(empty \ "prior_suspect_src" === JNull)
+  }
+
   test("suspectJson: names + per-query evidence + rerun, parseable, null-safe") {
     val j = JsonMethods.parse("{" + Bench.suspectJson(
       Map("d57_containment" -> ((4.025, 6))),

@@ -281,6 +281,24 @@ def summary(runs):
                 q, fmt(det.get("min"), "{:.2f}"),
                 fmt(det.get("band_median"), "{:.2f}"), det.get("n", "-"),
                 verdict))
+        # round-18 prior-lead adjudication: an open suspect from the
+        # previous comparable line (rerun repeated the breach or never
+        # ran), adjudicated by THIS line — refuted = back in band
+        # (transient), confirmed = breached again (bisect), null = this
+        # line couldn't judge it (query failed here). fresh_jvm says
+        # whether the verdict came from a different process (regression-
+        # grade) or a same-JVM repeat (can clear a JIT/GC transient).
+        src = d.get("prior_suspect_src") or {}
+        for q, det in sorted((d.get("prior_suspect") or {}).items()):
+            verdict = det.get("verdict") or "unadjudicated (not run here)"
+            print("    prior lead {} (from {} @{}): min {} rerun {} -> "
+                  "this run {} — {}{}".format(
+                q, src.get("ts", "-")[:19], str(src.get("sha", "-"))[:8],
+                fmt(det.get("prior_min"), "{:.2f}"),
+                fmt(det.get("prior_rerun"), "{:.2f}"),
+                fmt(det.get("min"), "{:.2f}"), verdict,
+                " (fresh jvm)" if src.get("fresh_jvm") is True
+                else " (same jvm)" if src.get("fresh_jvm") is False else ""))
 
 
 def one_query(runs, q):
@@ -586,6 +604,21 @@ def selftest():
     assert suspect_hits({"d57": 4.5}, band) == []      # in band
     assert suspect_hits({"tiny": 0.35}, band) == []    # ratio but no floor
     assert suspect_hits({"thin": 99.0}, band) == []    # thin history
+    # printer smoke: a line carrying the round-18 prior-lead block (both
+    # verdict shapes, including the all-null unadjudicated lead) must
+    # render — summary is the triage surface for the field
+    summary([{"ts": "2026-08-15T02:00:00Z", "sha": "c" * 40, "jvm_run": 1,
+              "cpus": 32, "sf_num": 0.1, "mode": "both", "value": 60.0,
+              "queries": {"q42": 1.96}, "failed": [],
+              "suspect": [], "suspect_detail": {},
+              "prior_suspect": {
+                  "q42": {"prior_min": 3.22, "prior_rerun": 3.58,
+                          "min": 1.96, "verdict": "refuted"},
+                  "gone": {"prior_min": 9.0, "prior_rerun": None,
+                           "min": None, "verdict": None}},
+              "prior_suspect_src": {"ts": "2026-08-15T01:00:00Z",
+                                    "sha": "b" * 40, "fresh_jvm": True},
+              "steal_delta": 1, "noncomparable": False}])
     print("selftest OK")
 
 
