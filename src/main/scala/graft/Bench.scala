@@ -127,7 +127,11 @@ object Bench {
     * 6.4 s one-shot (1.66× its then-band) and the r17 12.46 s capture
     * (3.1×) — i.e. precisely the two incidents that each cost a judge
     * session, with ZERO false flags on ~40 clean lines spanning quiet,
-    * diffusely-degraded, and storm days. 2.0 would miss the r15 case. */
+    * diffusely-degraded, and storm days. 2.0 would miss the r15 case.
+    * (That zero-false-flag count is the PRE-SHIP record the bar was
+    * calibrated on; flags fired live since then are by design — each
+    * adjudicated on its own line, see README's firing log. The
+    * calibration replay is `bench_history.py --suspect-replay`.) */
   private[graft] val SuspectRatio = 1.5
   /** …AND by more than this absolute excess: sub-second queries clear
     * any ratio bar on scheduler jitter alone (diffuse-weather drift is
@@ -184,31 +188,35 @@ object Bench {
       if (cpusOk && sfOk && modeOk && cleanOk) Some(j) else None
     } catch { case _: Exception => None }
 
+  /** Per-query mins of ONE already-accepted (see [[parseComparable]])
+    * line's JSON. */
+  private def minsOfJson(j: org.json4s.JValue): Map[String, Double] = {
+    import org.json4s._
+    (j \ "samples") match {
+      case JObject(fields) =>
+        fields.flatMap { case (name, v) =>
+          v match {
+            case JArray(vs) =>
+              val ds = vs.flatMap(jnum)
+              if (ds.nonEmpty) Some(name -> ds.min) else None
+            case _ => None
+          }
+        }.toMap
+      case _ => // pre-samples vintage: per-query mins live in `queries`
+        (j \ "queries") match {
+          case JObject(fields) =>
+            fields.flatMap { case (name, v) => jnum(v).map(name -> _) }.toMap
+          case _ => Map.empty
+        }
+    }
+  }
+
   /** Per-query minimum extracted from ONE history line, empty unless
     * [[parseComparable]] accepts it for this cohort. */
   private[graft] def lineQueryMins(line: String, cpus: Int,
       sfNum: Option[Double], headlineOrdered: Boolean): Map[String, Double] =
-    parseComparable(line, cpus, sfNum, headlineOrdered).map { j =>
-      import org.json4s._
-      val mins: Map[String, Double] = (j \ "samples") match {
-        case JObject(fields) =>
-          fields.flatMap { case (name, v) =>
-            v match {
-              case JArray(vs) =>
-                val ds = vs.flatMap(jnum)
-                if (ds.nonEmpty) Some(name -> ds.min) else None
-              case _ => None
-            }
-          }.toMap
-        case _ => // pre-samples vintage: per-query mins live in `queries`
-          (j \ "queries") match {
-            case JObject(fields) =>
-              fields.flatMap { case (name, v) => jnum(v).map(name -> _) }.toMap
-            case _ => Map.empty
-          }
-      }
-      mins
-    }.getOrElse(Map.empty)
+    parseComparable(line, cpus, sfNum, headlineOrdered)
+      .map(minsOfJson).getOrElse(Map.empty)
 
   /** All comparable-history per-query mins for this cohort, accumulated
     * across the history file. Missing/unreadable file → empty (first
@@ -216,16 +224,7 @@ object Bench {
   private[graft] def historyBands(path: String, cpus: Int,
       sfNum: Option[Double],
       headlineOrdered: Boolean): Map[String, Seq[Double]] =
-    try {
-      val src = scala.io.Source.fromFile(path)
-      try {
-        val acc = scala.collection.mutable.Map.empty[String, List[Double]]
-        for (line <- src.getLines();
-             (q, m) <- lineQueryMins(line, cpus, sfNum, headlineOrdered))
-          acc(q) = m :: acc.getOrElse(q, Nil)
-        acc.toMap
-      } finally src.close()
-    } catch { case _: Exception => Map.empty }
+    scanHistory(path, cpus, sfNum, headlineOrdered)._1
 
   /** The flagged queries: min > [[SuspectRatio]] × history median AND
     * more than [[SuspectFloorSec]] above it, with at least
@@ -276,58 +275,100 @@ object Bench {
   // lead on the record — `refuted` (back in band: transient) or
   // `confirmed` (breached again on a fresh pass: bisect now).
 
+  /** Open leads of ONE already-accepted line's JSON (see
+    * [[openLeadsOf]] for the contract). */
+  private def leadsOfJson(j: org.json4s.JValue)
+      : (String, String, Map[String, (Double, Option[Double])]) = {
+    import org.json4s._
+    def str(v: JValue): String = v match {
+      case JString(s) => s
+      case _          => "unknown"
+    }
+    val leads = (j \ "suspect_detail") match {
+      case JObject(fields) =>
+        fields.flatMap { case (q, d) =>
+          for {
+            min <- jnum(d \ "min")
+            med <- jnum(d \ "band_median")
+            rerun = jnum(d \ "rerun")
+            open = rerun match {
+              case None    => true // never adjudicated (dirty covariates / rerun failed)
+              case Some(r) => r > SuspectRatio * med && r - med > SuspectFloorSec
+            }
+            if open
+          } yield q -> ((min, rerun))
+        }.toMap
+      case _ => Map.empty[String, (Double, Option[Double])]
+    }
+    // A lead this line inherited but could NOT adjudicate (its verdict
+    // is null: the query failed or didn't run here) stays open with its
+    // ORIGINAL evidence — otherwise a clean line that merely failed to
+    // run the query would silently close a potential regression lead
+    // (this line becomes the cohort's most recent comparable line, and
+    // without the carry-forward the next run would find nothing open).
+    // A line's own suspect_detail wins on overlap: fresher evidence.
+    val carried = (j \ "prior_suspect") match {
+      case JObject(fields) =>
+        fields.flatMap { case (q, d) =>
+          (d \ "verdict") match {
+            case JString(_) => None // refuted or confirmed: adjudicated here
+            case _ => jnum(d \ "prior_min")
+              .map(m => q -> ((m, jnum(d \ "prior_rerun"))))
+          }
+        }.toMap
+      case _ => Map.empty[String, (Double, Option[Double])]
+    }
+    (str(j \ "ts"), str(j \ "sha"), carried ++ leads)
+  }
+
   /** The prior line's open leads: ts, sha, and for each suspect that did
     * NOT self-clear (rerun absent, or rerun still over ratio+floor vs
-    * the band median recorded on that line), its min and rerun. None
-    * when the line isn't cohort-comparable; Some with an empty map when
-    * it is but has nothing open (including a self-cleared suspect —
-    * that lead is already settled as weather, on its own line). */
+    * the band median recorded on that line), its min and rerun —
+    * including leads the line carried forward unadjudicated (its
+    * `prior_suspect` verdict null). None when the line isn't
+    * cohort-comparable; Some with an empty map when it is but has
+    * nothing open (including a self-cleared suspect — that lead is
+    * already settled as weather, on its own line). */
   private[graft] def openLeadsOf(line: String, cpus: Int,
       sfNum: Option[Double], headlineOrdered: Boolean)
       : Option[(String, String, Map[String, (Double, Option[Double])])] =
-    parseComparable(line, cpus, sfNum, headlineOrdered).map { j =>
-      import org.json4s._
-      def str(v: JValue): String = v match {
-        case JString(s) => s
-        case _          => "unknown"
-      }
-      val leads = (j \ "suspect_detail") match {
-        case JObject(fields) =>
-          fields.flatMap { case (q, d) =>
-            for {
-              min <- jnum(d \ "min")
-              med <- jnum(d \ "band_median")
-              rerun = jnum(d \ "rerun")
-              open = rerun match {
-                case None    => true // never adjudicated (dirty covariates / rerun failed)
-                case Some(r) => r > SuspectRatio * med && r - med > SuspectFloorSec
-              }
-              if open
-            } yield q -> ((min, rerun))
-          }.toMap
-        case _ => Map.empty[String, (Double, Option[Double])]
-      }
-      (str(j \ "ts"), str(j \ "sha"), leads)
-    }
+    parseComparable(line, cpus, sfNum, headlineOrdered).map(leadsOfJson)
 
   /** The open leads of the LAST cohort-comparable line in the history
     * file — the "next comparable line" rule needs exactly the adjacent
-    * one: an older lead either was already adjudicated by an
-    * intervening comparable line or re-fired there (making THAT the
-    * adjacent lead). Missing/unreadable file → None, never fatal. */
+    * one: an older lead was adjudicated by an intervening comparable
+    * line, re-fired there (making THAT the adjacent lead), or rides
+    * forward in its `prior_suspect` block with a null verdict (the
+    * carry-forward above). Missing/unreadable file → None, never
+    * fatal. */
   private[graft] def lastOpenLeads(path: String, cpus: Int,
       sfNum: Option[Double], headlineOrdered: Boolean)
       : Option[(String, String, Map[String, (Double, Option[Double])])] =
+    scanHistory(path, cpus, sfNum, headlineOrdered)._2
+
+  /** ONE pass over the history file collecting both things a bench run
+    * needs from it: every comparable line's per-query mins (the bands)
+    * and the last comparable line's open leads. The two consumers used
+    * to scan the file independently — 2× full parses per repeat of a
+    * file that grows with every run. Missing/unreadable file → empty
+    * band map and no leads, never fatal. */
+  private[graft] def scanHistory(path: String, cpus: Int,
+      sfNum: Option[Double], headlineOrdered: Boolean)
+      : (Map[String, Seq[Double]],
+         Option[(String, String, Map[String, (Double, Option[Double])])]) =
     try {
       val src = scala.io.Source.fromFile(path)
       try {
+        val acc = scala.collection.mutable.Map.empty[String, List[Double]]
         var last: Option[(String, String, Map[String, (Double, Option[Double])])] = None
         for (line <- src.getLines();
-             parsed <- openLeadsOf(line, cpus, sfNum, headlineOrdered))
-          last = Some(parsed)
-        last
+             j <- parseComparable(line, cpus, sfNum, headlineOrdered)) {
+          for ((q, m) <- minsOfJson(j)) acc(q) = m :: acc.getOrElse(q, Nil)
+          last = Some(leadsOfJson(j))
+        }
+        (acc.toMap, last)
       } finally src.close()
-    } catch { case _: Exception => None }
+    } catch { case _: Exception => (Map.empty, None) }
 
   /** Verdict per open lead, from THIS run's evidence: `confirmed` when
     * this run independently re-flagged the query (same ratio+floor rule
@@ -357,8 +398,12 @@ object Bench {
       src: Option[(String, String)], freshJvm: Boolean,
       best: Map[String, Double],
       verdicts: Map[String, Option[String]]): String = {
+    // jsonStr on the names: unlike the suspect block's (registry
+    // identifiers), these came from PARSED history — a mangled or
+    // hand-edited line with a quote in a key must not make THIS line
+    // invalid JSON (which the next run would then silently discard).
     val body = leads.toSeq.sortBy(_._1).map { case (q, (pMin, pRerun)) =>
-      s""""$q":{"prior_min":$pMin,""" +
+      s"""${jsonStr(q)}:{"prior_min":$pMin,""" +
         s""""prior_rerun":${pRerun.map(_.toString).getOrElse("null")},""" +
         s""""min":${best.get(q).map(_.toString).getOrElse("null")},""" +
         s""""verdict":${verdicts.get(q).flatten.map("\"" + _ + "\"").getOrElse("null")}}"""
@@ -604,8 +649,10 @@ object Bench {
     // nothing) — re-run just the flagged queries once so the artifact
     // carries the settling sample. The re-runs are bracketed by their
     // own steal delta (rerun_steal_delta) so THEY are adjudicable too.
-    val suspect = suspectsOf(best.toMap,
-      historyBands("BENCH_HISTORY.jsonl", cpus, sfNumber(sfDir), headlineOrdered))
+    // one pass serves both the bands and the prior-lead read below
+    val (bands, lastLeads) =
+      scanHistory("BENCH_HISTORY.jsonl", cpus, sfNumber(sfDir), headlineOrdered)
+    val suspect = suspectsOf(best.toMap, bands)
     val rerun: Map[String, Double] =
       if (suspect.isEmpty || !noncmp.contains(false)) Map.empty
       else queries.collect { case (name, fn) if suspect.contains(name) =>
@@ -622,8 +669,7 @@ object Bench {
     // NEXT clean run picks it up instead.
     val prior =
       if (!noncmp.contains(false)) None
-      else lastOpenLeads("BENCH_HISTORY.jsonl", cpus, sfNumber(sfDir),
-        headlineOrdered).filter(_._3.nonEmpty)
+      else lastLeads.filter(_._3.nonEmpty)
     val priorLeads = prior.map(_._3).getOrElse(Map.empty)
     val priorVerdicts = adjudicate(priorLeads, best.toMap, suspect, failed)
     def mapJson(m: Map[String, String]): String =

@@ -137,16 +137,18 @@ class BenchSuspectSpec extends AnyFunSuite {
     * incident's numbers are the defaults of the tests below. */
   private def leadLine(min: Double, med: Double = 2.05,
                        rerun: Option[Double] = None, flagged: Boolean = true,
-                       clean: Boolean = true, sha: String = "c" * 40): String = {
+                       clean: Boolean = true, sha: String = "c" * 40,
+                       prior: String = ""): String = {
     val cov = Bench.covariateJson(Some((1.0, 1.0, 1.0)), Some(0L))
     val sus =
       if (flagged) Bench.suspectJson(Map("q42" -> ((med, 9))),
         Map("q42" -> min), rerun.map("q42" -> _).toMap, rerun.map(_ => 1L))
       else Bench.suspectJson(Map.empty, Map.empty, Map.empty, None)
+    val pr = if (prior.nonEmpty) prior + "," else ""
     val body = s"""{${Bench.lineHead("both", 32, "/root/testdata/sf0.1", cov, cov)},""" +
       s""""samples":{"q42":[${min + 0.4},$min],"q01":[1.1,1.0]},""" +
       s""""queries":{"q42":$min,"q01":1.0},""" +
-      s""""failed":[],"value":${min + 1.0},$sus,""" +
+      s""""failed":[],"value":${min + 1.0},$sus,$pr""" +
       s"""${Bench.verdictFields(Some(if (clean) 0L else 9999L), Some(!clean))}}"""
     Bench.historyLine(body, "2026-08-15T01:00:00Z", sha, 1)
   }
@@ -188,6 +190,64 @@ class BenchSuspectSpec extends AnyFunSuite {
       leadLine(1.96, flagged = false)).mkString("", "\n", "\n"))
     assert(Bench.lastOpenLeads(f2, 32, Some(0.1), true).exists(_._3.isEmpty))
     assert(Bench.lastOpenLeads("/no/such/file.jsonl", 32, Some(0.1), true).isEmpty)
+  }
+
+  test("carry-forward: an unadjudicated prior lead (verdict null) stays open") {
+    // the dropped-lead hole: line N opens a lead, line N+1 is comparable
+    // but its q42 FAILED — verdict null. Without carry-forward, line N+1
+    // becomes the most recent comparable line with an empty suspect
+    // block and the lead silently dies. With it, line N+1's own
+    // prior_suspect block re-exposes the lead with its ORIGINAL
+    // evidence.
+    val unadjudicated = Bench.priorSuspectJson(
+      Map("q42" -> ((3.22, Option(3.58)))),
+      Some(("2026-08-15T01:00:00Z", "c" * 40)), freshJvm = true,
+      Map.empty, Map("q42" -> None))
+    val carrier = leadLine(1.0, flagged = false, prior = unadjudicated,
+      sha = "d" * 40)
+    assert(Bench.openLeadsOf(carrier, 32, Some(0.1), true)
+      .exists(_._3 === Map("q42" -> ((3.22, Some(3.58))))))
+    // an ADJUDICATED prior lead (refuted here) does not carry
+    val refuted = Bench.priorSuspectJson(
+      Map("q42" -> ((3.22, Option(3.58)))),
+      Some(("2026-08-15T01:00:00Z", "c" * 40)), freshJvm = true,
+      Map("q42" -> 1.96), Map("q42" -> Some("refuted")))
+    assert(Bench.openLeadsOf(leadLine(1.0, flagged = false, prior = refuted),
+      32, Some(0.1), true).exists(_._3.isEmpty))
+    // end-to-end through the file: lead line, then the failed-query
+    // carrier — lastOpenLeads surfaces the carried lead from the
+    // ADJACENT line (the carrier), original numbers intact
+    val f = tmpFile(Seq(leadLine(3.22, rerun = Some(3.58)), carrier)
+      .mkString("", "\n", "\n"))
+    val Some((_, sha, leads)) = Bench.lastOpenLeads(f, 32, Some(0.1), true)
+    assert(sha === "d" * 40 && leads === Map("q42" -> ((3.22, Some(3.58)))))
+    // the carrier's OWN suspect evidence wins over a stale carried copy
+    val both = leadLine(4.0, rerun = Some(4.2), prior = unadjudicated)
+    assert(Bench.openLeadsOf(both, 32, Some(0.1), true)
+      .exists(_._3 === Map("q42" -> ((4.0, Some(4.2))))))
+  }
+
+  test("scanHistory: one pass yields both the bands and the last line's leads") {
+    val f = tmpFile(Seq(syntheticLine(4.0), leadLine(3.22, rerun = Some(3.58)),
+      leadLine(30.0, clean = false)).mkString("", "\n", "\n"))
+    val (bands, last) = Bench.scanHistory(f, 32, Some(0.1), headlineOrdered = true)
+    assert(bands("q42") === Seq(3.22) && bands("d57_containment") === Seq(4.0))
+    assert(last.exists(_._3 === Map("q42" -> ((3.22, Some(3.58))))))
+    assert(Bench.scanHistory("/no/such.jsonl", 32, Some(0.1), true)
+      === ((Map.empty, None)))
+  }
+
+  test("priorSuspectJson escapes a hostile lead name from parsed history") {
+    val j = JsonMethods.parse("{" + Bench.priorSuspectJson(
+      Map("""q"42\x""" -> ((3.22, Option.empty[Double]))), None,
+      freshJvm = true, Map.empty, Map.empty) + "}")
+    assert(jnumOf(j \ "prior_suspect" \ """q"42\x""" \ "prior_min") === Some(3.22))
+  }
+
+  private def jnumOf(v: JValue): Option[Double] = v match {
+    case JDouble(d) => Some(d)
+    case JInt(n)    => Some(n.toDouble)
+    case _          => None
   }
 
   test("adjudicate: re-flagged = confirmed, in-band = refuted, absent = null") {

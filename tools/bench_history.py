@@ -6,8 +6,11 @@ Usage:
   python3 tools/bench_history.py d57_containment # that query across runs
   python3 tools/bench_history.py --suspect-replay # replay every line
       # against its own-time bands (the round-18 suspect rule); prints
-      # the flagged lines with covariate state — on the real history,
-      # exactly the r15/r17 d57 incidents as the only clean flags
+      # the flagged lines with covariate state — on the PRE-SHIP
+      # history, exactly the r15/r17 d57 incidents as the only clean
+      # flags (the calibration claim); flags the live rule has fired
+      # since shipping print too, each already adjudicated on its own
+      # line (q10 rerun-cleared, q42 refuted by the adjacent line)
 
 Summary columns end with the round-13 machine-load covariates: loadavg
 at run start/end (1-minute average) and the start->end steal-tick delta
@@ -363,8 +366,13 @@ def suspect_replay(runs, cpus=32, sf=0.1):
     comparable (noncomparable:false) lines only, exactly as Bench's
     lineQueryMins filters; every cohort line is judged, so a dirty
     line's flags print too (self-explained by its covariates, shown).
-    On the real history this prints exactly the r15 6.4s and r17 12.46s
-    d57 incidents as the only clean flagged lines."""
+    On the pre-ship history (lines before the rule landed) this prints
+    exactly the r15 6.4s and r17 12.46s d57 incidents as the only clean
+    flagged lines — the calibration claim. Lines appended after the rule
+    shipped can add clean flags (those ARE the rule firing live: q10 on
+    2026-08-14, q42 on 2026-08-15 — each adjudicated weather/refuted on
+    its own line or the adjacent one, see README), so the replay's
+    clean-flag set grows with the firing log, not against it."""
     hist = {}
     judged = flagged = 0
     for d in runs:
