@@ -374,13 +374,19 @@ object Bench {
     * this run independently re-flagged the query (same ratio+floor rule
     * against the same comparable-history band — [[suspectsOf]] is the
     * single definition of "breached"), `refuted` when it ran in band,
-    * None (serialized null: unadjudicated) when it failed or didn't run
-    * this time. */
+    * `retired` when the query is no longer in the registry at all (a
+    * renamed/removed query can never be re-measured, and a null verdict
+    * would carry its lead forward on every future line forever — any
+    * non-null verdict closes the carry), None (serialized null:
+    * unadjudicated) when it failed or didn't run this time. A registry
+    * query that didn't fail is always in `best`, so the None branch is
+    * reachable only via `failed` once `registry` is consulted first. */
   private[graft] def adjudicate(leads: Map[String, (Double, Option[Double])],
       best: Map[String, Double], suspect: Map[String, (Double, Int)],
-      failed: Set[String]): Map[String, Option[String]] =
+      failed: Set[String], registry: Set[String]): Map[String, Option[String]] =
     leads.map { case (q, _) =>
-      q -> (if (failed(q) || !best.contains(q)) None
+      q -> (if (!registry(q)) Some("retired")
+            else if (failed(q) || !best.contains(q)) None
             else if (suspect.contains(q)) Some("confirmed")
             else Some("refuted"))
     }
@@ -671,7 +677,8 @@ object Bench {
       if (!noncmp.contains(false)) None
       else lastLeads.filter(_._3.nonEmpty)
     val priorLeads = prior.map(_._3).getOrElse(Map.empty)
-    val priorVerdicts = adjudicate(priorLeads, best.toMap, suspect, failed)
+    val priorVerdicts = adjudicate(priorLeads, best.toMap, suspect, failed,
+      queries.map(_._1).toSet)
     def mapJson(m: Map[String, String]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")

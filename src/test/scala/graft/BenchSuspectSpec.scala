@@ -250,15 +250,33 @@ class BenchSuspectSpec extends AnyFunSuite {
     case _          => None
   }
 
-  test("adjudicate: re-flagged = confirmed, in-band = refuted, absent = null") {
+  test("adjudicate: re-flagged = confirmed, in-band = refuted, failed = null") {
     val leads = Map("q42" -> ((3.22, Option(3.58))), "gone" -> ((9.0, Option(9.0))))
-    // in-band this run (the real outcome: 1.96, not re-flagged) -> refuted
-    assert(Bench.adjudicate(leads, Map("q42" -> 1.96), Map.empty, Set("gone"))
+    // in-band this run (the real outcome: 1.96, not re-flagged) -> refuted;
+    // a registry query that FAILED this run -> null (carries forward)
+    assert(Bench.adjudicate(leads, Map("q42" -> 1.96), Map.empty, Set("gone"),
+      Set("q42", "gone"))
       === Map("q42" -> Some("refuted"), "gone" -> None))
     // re-flagged this run -> confirmed (a regression reproduces)
     assert(Bench.adjudicate(Map("q42" -> ((3.22, Option(3.58)))),
-      Map("q42" -> 3.3), Map("q42" -> ((2.05, 10))), Set.empty)
+      Map("q42" -> 3.3), Map("q42" -> ((2.05, 10))), Set.empty, Set("q42"))
       === Map("q42" -> Some("confirmed")))
+  }
+
+  test("adjudicate: a lead whose query left the registry retires") {
+    // without this, a renamed/removed query's lead has no possible
+    // measurement, stays verdict-null, and the carry-forward re-emits it
+    // on every future comparable line forever
+    val leads = Map("old_name" -> ((9.0, Option(9.5))))
+    assert(Bench.adjudicate(leads, Map("q42" -> 1.96), Map.empty, Set.empty,
+      Set("q42")) === Map("old_name" -> Some("retired")))
+    // and a retired verdict closes the carry: the emitting line is no
+    // longer an open lead for the next run
+    val retired = Bench.priorSuspectJson(leads, Some(("2026-08-15T01:00:00Z",
+      "c" * 40)), freshJvm = true, Map.empty,
+      Map("old_name" -> Some("retired")))
+    assert(Bench.openLeadsOf(leadLine(1.0, flagged = false, prior = retired),
+      32, Some(0.1), true).exists(_._3.isEmpty))
   }
 
   test("END-TO-END: the q42 incident replayed — next comparable line refutes") {
@@ -274,13 +292,13 @@ class BenchSuspectSpec extends AnyFunSuite {
     val best = Map("q42" -> 1.96, "q01" -> 1.0)
     val sus = Bench.suspectsOf(best, bands)
     assert(sus.isEmpty)
-    assert(Bench.adjudicate(leads, best, sus, Set.empty)
+    assert(Bench.adjudicate(leads, best, sus, Set.empty, best.keySet)
       === Map("q42" -> Some("refuted")))
     // ...and at 3.3 it IS re-flagged against the same bands -> confirmed
     val best2 = Map("q42" -> 3.3, "q01" -> 1.0)
     val sus2 = Bench.suspectsOf(best2, bands)
     assert(sus2.contains("q42"))
-    assert(Bench.adjudicate(leads, best2, sus2, Set.empty)
+    assert(Bench.adjudicate(leads, best2, sus2, Set.empty, best2.keySet)
       === Map("q42" -> Some("confirmed")))
   }
 

@@ -287,8 +287,9 @@ def summary(runs):
         # round-18 prior-lead adjudication: an open suspect from the
         # previous comparable line (rerun repeated the breach or never
         # ran), adjudicated by THIS line — refuted = back in band
-        # (transient), confirmed = breached again (bisect), null = this
-        # line couldn't judge it (query failed here). fresh_jvm says
+        # (transient), confirmed = breached again (bisect), retired =
+        # the query left the registry (can never be re-measured), null =
+        # this line couldn't judge it (query failed here). fresh_jvm says
         # whether the verdict came from a different process (regression-
         # grade) or a same-JVM repeat (can clear a JIT/GC transient).
         src = d.get("prior_suspect_src") or {}
