@@ -147,17 +147,29 @@ object Bench {
   }
 
   /** JSON number as Double across json4s's numeric encodings; None for
-    * anything else (including bool — json4s keeps them distinct). */
+    * anything else (including bool — json4s keeps them distinct) AND for
+    * non-finite values: a mangled history line with `1e999` parses to
+    * Infinity, which must never enter a band median or a carried lead —
+    * re-serialized, it would be the JSON-invalid token `Infinity` and
+    * invalidate THIS run's line (which the next run would then silently
+    * discard as unparseable). */
   private def jnum(v: org.json4s.JValue): Option[Double] = {
     import org.json4s._
-    v match {
+    (v match {
       case JDouble(d)  => Some(d)
       case JInt(n)     => Some(n.toDouble)
       case JLong(n)    => Some(n.toDouble)
       case JDecimal(d) => Some(d.toDouble)
       case _           => None
-    }
+    }).filter(java.lang.Double.isFinite(_))
   }
+
+  /** A Double as a JSON number token, `null` when non-finite — the
+    * serialization-side twin of [[jnum]]'s parse-side guard (belt and
+    * braces: even if a future code path lets NaN/Infinity reach a
+    * serializer, the emitted line stays valid JSON). */
+  private[graft] def jsonNum(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "null"
 
   /** ONE history line parsed, returned only if it is usable as evidence
     * for this run's cohort: same cpus (number, or the round-13 string
@@ -253,8 +265,8 @@ object Bench {
     val names = suspect.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail = suspect.toSeq.sortBy(_._1).map { case (q, (med, n)) =>
-      s""""$q":{"min":${best(q)},"band_median":$med,"n":$n,""" +
-        s""""rerun":${rerun.get(q).map(_.toString).getOrElse("null")}}"""
+      s""""$q":{"min":${jsonNum(best(q))},"band_median":${jsonNum(med)},"n":$n,""" +
+        s""""rerun":${rerun.get(q).map(jsonNum).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     s""""suspect":$names,"suspect_detail":$detail,""" +
       s""""rerun_steal_delta":${rerunStealD.map(_.toString).getOrElse("null")}"""
@@ -275,15 +287,38 @@ object Bench {
   // lead on the record — `refuted` (back in band: transient) or
   // `confirmed` (breached again on a fresh pass: bisect now).
 
+  /** One open suspect lead read from history: the flagged run's min,
+    * its clean-covariate rerun (None = never ran), and the line where
+    * the evidence was MEASURED (ts, sha) — carried verbatim through
+    * carry-forward hops, so a reader bisecting from a lead's origin sha
+    * lands on the commit that actually produced prior_min/prior_rerun,
+    * not on whichever line happened to carry the lead last. None origin
+    * only for pre-origin-vintage carried entries whose carrier also
+    * lacked a src. */
+  private[graft] final case class Lead(min: Double, rerun: Option[Double],
+      origin: Option[(String, String)])
+
+  /** The last cohort-comparable history line, parsed: provenance
+    * (ts, sha), its headline `value` (None when absent/non-finite), and
+    * its open leads. */
+  private[graft] final case class PriorLine(ts: String, sha: String,
+      value: Option[Double], leads: Map[String, Lead])
+
   /** Open leads of ONE already-accepted line's JSON (see
     * [[openLeadsOf]] for the contract). */
-  private def leadsOfJson(j: org.json4s.JValue)
-      : (String, String, Map[String, (Double, Option[Double])]) = {
+  private def leadsOfJson(j: org.json4s.JValue): PriorLine = {
     import org.json4s._
     def str(v: JValue): String = v match {
       case JString(s) => s
       case _          => "unknown"
     }
+    def tsSha(v: JValue): Option[(String, String)] = v match {
+      case JObject(_) => Some((str(v \ "ts"), str(v \ "sha")))
+      case _          => None
+    }
+    val ts = str(j \ "ts")
+    val sha = str(j \ "sha")
+    // a lead the line flagged ITSELF was measured here: origin = (ts, sha)
     val leads = (j \ "suspect_detail") match {
       case JObject(fields) =>
         fields.flatMap { case (q, d) =>
@@ -296,9 +331,9 @@ object Bench {
               case Some(r) => r > SuspectRatio * med && r - med > SuspectFloorSec
             }
             if open
-          } yield q -> ((min, rerun))
+          } yield q -> Lead(min, rerun, Some((ts, sha)))
         }.toMap
-      case _ => Map.empty[String, (Double, Option[Double])]
+      case _ => Map.empty[String, Lead]
     }
     // A lead this line inherited but could NOT adjudicate (its verdict
     // is null: the query failed or didn't run here) stays open with its
@@ -306,19 +341,25 @@ object Bench {
     // run the query would silently close a potential regression lead
     // (this line becomes the cohort's most recent comparable line, and
     // without the carry-forward the next run would find nothing open).
-    // A line's own suspect_detail wins on overlap: fresher evidence.
+    // Origin rides per-lead (`origin` in the entry); entries written
+    // before the field existed fall back to the carrier's
+    // prior_suspect_src — the line it adjudicated, which for a
+    // first-hop carry IS where the evidence was measured. A line's own
+    // suspect_detail wins on overlap: fresher evidence.
+    val srcOrigin = tsSha(j \ "prior_suspect_src")
     val carried = (j \ "prior_suspect") match {
       case JObject(fields) =>
         fields.flatMap { case (q, d) =>
           (d \ "verdict") match {
             case JString(_) => None // refuted or confirmed: adjudicated here
-            case _ => jnum(d \ "prior_min")
-              .map(m => q -> ((m, jnum(d \ "prior_rerun"))))
+            case _ => jnum(d \ "prior_min").map(m =>
+              q -> Lead(m, jnum(d \ "prior_rerun"),
+                tsSha(d \ "origin").orElse(srcOrigin)))
           }
         }.toMap
-      case _ => Map.empty[String, (Double, Option[Double])]
+      case _ => Map.empty[String, Lead]
     }
-    (str(j \ "ts"), str(j \ "sha"), carried ++ leads)
+    PriorLine(ts, sha, jnum(j \ "value"), carried ++ leads)
   }
 
   /** The prior line's open leads: ts, sha, and for each suspect that did
@@ -330,8 +371,7 @@ object Bench {
     * nothing open (including a self-cleared suspect — that lead is
     * already settled as weather, on its own line). */
   private[graft] def openLeadsOf(line: String, cpus: Int,
-      sfNum: Option[Double], headlineOrdered: Boolean)
-      : Option[(String, String, Map[String, (Double, Option[Double])])] =
+      sfNum: Option[Double], headlineOrdered: Boolean): Option[PriorLine] =
     parseComparable(line, cpus, sfNum, headlineOrdered).map(leadsOfJson)
 
   /** The open leads of the LAST cohort-comparable line in the history
@@ -342,8 +382,7 @@ object Bench {
     * carry-forward above). Missing/unreadable file → None, never
     * fatal. */
   private[graft] def lastOpenLeads(path: String, cpus: Int,
-      sfNum: Option[Double], headlineOrdered: Boolean)
-      : Option[(String, String, Map[String, (Double, Option[Double])])] =
+      sfNum: Option[Double], headlineOrdered: Boolean): Option[PriorLine] =
     scanHistory(path, cpus, sfNum, headlineOrdered)._2
 
   /** ONE pass over the history file collecting both things a bench run
@@ -354,13 +393,12 @@ object Bench {
     * band map and no leads, never fatal. */
   private[graft] def scanHistory(path: String, cpus: Int,
       sfNum: Option[Double], headlineOrdered: Boolean)
-      : (Map[String, Seq[Double]],
-         Option[(String, String, Map[String, (Double, Option[Double])])]) =
+      : (Map[String, Seq[Double]], Option[PriorLine]) =
     try {
       val src = scala.io.Source.fromFile(path)
       try {
         val acc = scala.collection.mutable.Map.empty[String, List[Double]]
-        var last: Option[(String, String, Map[String, (Double, Option[Double])])] = None
+        var last: Option[PriorLine] = None
         for (line <- src.getLines();
              j <- parseComparable(line, cpus, sfNum, headlineOrdered)) {
           for ((q, m) <- minsOfJson(j)) acc(q) = m :: acc.getOrElse(q, Nil)
@@ -381,7 +419,7 @@ object Bench {
     * unadjudicated) when it failed or didn't run this time. A registry
     * query that didn't fail is always in `best`, so the None branch is
     * reachable only via `failed` once `registry` is consulted first. */
-  private[graft] def adjudicate(leads: Map[String, (Double, Option[Double])],
+  private[graft] def adjudicate(leads: Map[String, Lead],
       best: Map[String, Double], suspect: Map[String, (Double, Int)],
       failed: Set[String], registry: Set[String]): Map[String, Option[String]] =
     leads.map { case (q, _) =>
@@ -392,26 +430,34 @@ object Bench {
     }
 
   /** The prior-lead block for the line's tail: per-query prior evidence
-    * (that line's min and repeated/absent rerun), this run's min (null
-    * if it failed), and the verdict; plus a src object naming the
-    * adjudicated line (ts, sha) and whether this run is a fresh JVM
+    * (that line's min and repeated/absent rerun), the `origin` line
+    * where that evidence was measured (ts, sha — preserved verbatim
+    * through carry-forward hops so a bisect starts from the right
+    * commit; null only for origin-less pre-vintage leads), this run's
+    * min (null if it failed), and the verdict; plus a src object naming
+    * the adjudicated line (ts, sha) and whether this run is a fresh JVM
     * relative to it (a same-process repeat can clear a JIT/GC
     * transient, but only a fresh process is regression-grade
     * refutation). `"prior_suspect":{},"prior_suspect_src":null` when
     * there was nothing open. */
   private[graft] def priorSuspectJson(
-      leads: Map[String, (Double, Option[Double])],
+      leads: Map[String, Lead],
       src: Option[(String, String)], freshJvm: Boolean,
       best: Map[String, Double],
       verdicts: Map[String, Option[String]]): String = {
-    // jsonStr on the names: unlike the suspect block's (registry
-    // identifiers), these came from PARSED history — a mangled or
-    // hand-edited line with a quote in a key must not make THIS line
-    // invalid JSON (which the next run would then silently discard).
-    val body = leads.toSeq.sortBy(_._1).map { case (q, (pMin, pRerun)) =>
-      s"""${jsonStr(q)}:{"prior_min":$pMin,""" +
-        s""""prior_rerun":${pRerun.map(_.toString).getOrElse("null")},""" +
-        s""""min":${best.get(q).map(_.toString).getOrElse("null")},""" +
+    // jsonStr on the names, jsonNum on the numbers: unlike the suspect
+    // block's (registry identifiers, this run's own timings), these came
+    // from PARSED history — a mangled or hand-edited line with a quote
+    // in a key or a 1e999 value must not make THIS line invalid JSON
+    // (which the next run would then silently discard).
+    val body = leads.toSeq.sortBy(_._1).map { case (q, Lead(pMin, pRerun, origin)) =>
+      val originJson = origin.map { case (ts, sha) =>
+        s"""{"ts":${jsonStr(ts)},"sha":${jsonStr(sha)}}"""
+      }.getOrElse("null")
+      s"""${jsonStr(q)}:{"prior_min":${jsonNum(pMin)},""" +
+        s""""prior_rerun":${pRerun.map(jsonNum).getOrElse("null")},""" +
+        s""""origin":$originJson,""" +
+        s""""min":${best.get(q).map(jsonNum).getOrElse("null")},""" +
         s""""verdict":${verdicts.get(q).flatten.map("\"" + _ + "\"").getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     val srcJson = src.map { case (ts, sha) =>
@@ -419,6 +465,52 @@ object Bench {
     }.getOrElse("null")
     s""""prior_suspect":$body,"prior_suspect_src":$srcJson"""
   }
+
+  /** The most recent comparable history line as
+    * `{"value":…,"ts":…,"sha":…}`, `null` with no comparable history —
+    * the adjudicated-clean reference a reader of a dirty line needs. */
+  private[graft] def lastCleanInner(last: Option[PriorLine]): String =
+    last.map(p =>
+      s"""{"value":${p.value.map(jsonNum).getOrElse("null")},""" +
+        s""""ts":${jsonStr(p.ts)},"sha":${jsonStr(p.sha)}}""").getOrElse("null")
+
+  /** `"last_clean":…,` — spliced just ahead of the verdict tail on a
+    * run that is NOT adjudicated clean (noncomparable true or unknown):
+    * a line that says "don't trust me" should also name the trusted
+    * number. The round-18 driver capture (74.16 s storm line) correctly
+    * self-flagged, but finding the 52.45 s clean line on the same code
+    * took a manual BENCH_HISTORY read; the history scan that builds the
+    * bands already parses exactly that line, so the dirty line now
+    * carries it. Empty on a clean run — the clean line IS the
+    * reference. */
+  private[graft] def lastCleanField(noncmp: Option[Boolean],
+      last: Option[PriorLine]): String =
+    if (noncmp.contains(false)) "" else s""""last_clean":${lastCleanInner(last)},"""
+
+  /** The complete machine-readable twin of the stdout line, written to
+    * BENCH_SUMMARY.json (overwritten per run, like BENCH_FULL.json).
+    * Every per-round BENCH_rN.json the driver has ever captured is a
+    * tail-truncated STRING (`parsed:null`) — the verdict-bearing fields
+    * survive only because they ride tail-most. This artifact drops the
+    * bulk diagnostics (samples/unordered live in BENCH_FULL.json and
+    * the history) and keeps everything verdict-bearing, small enough to
+    * never truncate: provenance (ts/sha/jvm_run), cohort
+    * (mode/cpus/sf_num), headline (value/failed), the full suspect and
+    * prior-lead adjudication blocks, `last_clean` (populated exactly
+    * when the line carries it — run not adjudicated clean — else
+    * null), and the verdict tail. Shape pinned by BenchSuspectSpec. */
+  private[graft] def summaryJson(ts: String, sha: String, jvmRun: Int,
+      mode: String, cpus: Int, sfDir: String, total: Double,
+      failedJson: String, suspectBlock: String, priorBlock: String,
+      noncmp: Option[Boolean], last: Option[PriorLine],
+      stealD: Option[Long]): String =
+    s"""{"ts":${jsonStr(ts)},"sha":${jsonStr(sha)},"jvm_run":$jvmRun,""" +
+      s""""mode":"$mode","cpus":$cpus,""" +
+      s""""sf_num":${sfNumber(sfDir).map(_.toString).getOrElse("null")},""" +
+      s""""value":${jsonNum(total)},"failed":$failedJson,""" +
+      s"""$suspectBlock,$priorBlock,""" +
+      s""""last_clean":${if (noncmp.contains(false)) "null" else lastCleanInner(last)},""" +
+      s"""${verdictFields(stealD, noncmp)}}"""
 
   /** Best-effort numeric scale factor parsed from the testdata dir name
     * (`…/sf0.1` → 0.1) so cross-round history filtering doesn't parse
@@ -675,8 +767,8 @@ object Bench {
     // NEXT clean run picks it up instead.
     val prior =
       if (!noncmp.contains(false)) None
-      else lastLeads.filter(_._3.nonEmpty)
-    val priorLeads = prior.map(_._3).getOrElse(Map.empty)
+      else lastLeads.filter(_.leads.nonEmpty)
+    val priorLeads = prior.map(_.leads).getOrElse(Map.empty[String, Lead])
     val priorVerdicts = adjudicate(priorLeads, best.toMap, suspect, failed,
       queries.map(_._1).toSet)
     def mapJson(m: Map[String, String]): String =
@@ -716,20 +808,34 @@ object Bench {
     // unstripped minus failed: a query recorded as unstripped in an early
     // round but failing a later one would otherwise sit in two mutually
     // inconsistent cohorts (unstripped AND failed-with-no-samples).
-    val line = s"""{${lineHead(mode, cpus, sfDir, covStart, covEnd)},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total,${suspectJson(suspect, best.toMap, rerun, rerunStealD)},${priorSuspectJson(priorLeads, prior.map(p => (p._1, p._2)), !appendedComparable, best.toMap, priorVerdicts)},${verdictFields(stealD, noncmp)}}"""
+    val suspectBlock = suspectJson(suspect, best.toMap, rerun, rerunStealD)
+    val priorBlock = priorSuspectJson(priorLeads, prior.map(p => (p.ts, p.sha)),
+      !appendedComparable, best.toMap, priorVerdicts)
+    val line = s"""{${lineHead(mode, cpus, sfDir, covStart, covEnd)},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total,$suspectBlock,$priorBlock,${lastCleanField(noncmp, lastLeads)}${verdictFields(stealD, noncmp)}}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(line) finally w.close()
     } catch { case _: Exception => () } // stdout is the contract; the file is best-effort
+    val ts = java.time.Instant.now.toString
+    val sha = gitHeadSha().getOrElse("unknown")
+    // The small complete twin the driver CAN parse (its BENCH_rN capture
+    // is a tail-truncated string): everything verdict-bearing, none of
+    // the bulk. Overwritten per run; with --repeat the last repeat wins,
+    // and jvm_run discloses which repeat is on the record.
+    try {
+      val w = new java.io.PrintWriter("BENCH_SUMMARY.json")
+      try w.println(summaryJson(ts, sha, jvmRun, mode, cpus, sfDir, total,
+        namesJson(failed), suspectBlock, priorBlock, noncmp, lastLeads,
+        stealD))
+      finally w.close()
+    } catch { case _: Exception => () }
     // Cross-round adjudication needs more than one run's raw samples,
     // but BENCH_FULL.json is overwritten per run and the driver's
     // BENCH_rN artifact keeps only the line's tail. Append the full
     // line (wall-clock-stamped) to a history log nothing overwrites.
     try {
       val w = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
-      val sha = gitHeadSha().getOrElse("unknown")
-      try w.write(historyLine(line, java.time.Instant.now.toString, sha,
-        jvmRun) + "\n")
+      try w.write(historyLine(line, ts, sha, jvmRun) + "\n")
       finally w.close()
       // only after a successful append: a failed write leaves the prior
       // comparable line foreign-process, so fresh_jvm must stay true

@@ -155,24 +155,29 @@ class BenchSuspectSpec extends AnyFunSuite {
 
   test("openLeadsOf: a rerun-repeated suspect is an open lead, with provenance") {
     // the r18 q42 shape: min 3.22 vs band 2.05, rerun 3.58 — repeated
-    val Some((ts, sha, leads)) = Bench.openLeadsOf(
+    val Some(p) = Bench.openLeadsOf(
       leadLine(3.22, rerun = Some(3.58)), 32, Some(0.1), headlineOrdered = true)
-    assert(ts === "2026-08-15T01:00:00Z" && sha === "c" * 40)
-    assert(leads === Map("q42" -> ((3.22, Some(3.58)))))
+    assert(p.ts === "2026-08-15T01:00:00Z" && p.sha === "c" * 40)
+    // the line's headline value rides along, for last_clean
+    assert(p.value.exists(v => math.abs(v - 4.22) < 1e-9))
+    // a lead the line flagged ITSELF was measured here: origin = (ts, sha)
+    assert(p.leads === Map("q42" ->
+      Bench.Lead(3.22, Some(3.58), Some(("2026-08-15T01:00:00Z", "c" * 40)))))
     // a rerun that never happened (dirty-covariate path) is still open
     assert(Bench.openLeadsOf(leadLine(3.22, rerun = None), 32, Some(0.1), true)
-      .exists(_._3 === Map("q42" -> ((3.22, None)))))
+      .exists(_.leads === Map("q42" ->
+        Bench.Lead(3.22, None, Some(("2026-08-15T01:00:00Z", "c" * 40))))))
   }
 
   test("openLeadsOf: self-cleared and unflagged lines carry no open lead") {
     // rerun back at band (the q10 firing's shape): settled as weather
     assert(Bench.openLeadsOf(leadLine(3.22, rerun = Some(2.1)), 32, Some(0.1), true)
-      .exists(_._3.isEmpty))
+      .exists(_.leads.isEmpty))
     // no suspect block at all (in-band run / pre-feature vintage)
     assert(Bench.openLeadsOf(leadLine(1.96, flagged = false), 32, Some(0.1), true)
-      .exists(_._3.isEmpty))
+      .exists(_.leads.isEmpty))
     assert(Bench.openLeadsOf(syntheticLine(4.0), 32, Some(0.1), true)
-      .exists(_._3.isEmpty))
+      .exists(_.leads.isEmpty))
     // foreign/dirty lines are not evidence at all
     assert(Bench.openLeadsOf(leadLine(3.22, clean = false), 32, Some(0.1), true).isEmpty)
     assert(Bench.openLeadsOf("not json", 32, Some(0.1), true).isEmpty)
@@ -184,11 +189,12 @@ class BenchSuspectSpec extends AnyFunSuite {
     val f1 = tmpFile(Seq(leadLine(3.22, rerun = Some(3.58)),
       leadLine(30.0, clean = false)).mkString("", "\n", "\n"))
     assert(Bench.lastOpenLeads(f1, 32, Some(0.1), true)
-      .exists(_._3 === Map("q42" -> ((3.22, Some(3.58))))))
+      .exists(_.leads === Map("q42" ->
+        Bench.Lead(3.22, Some(3.58), Some(("2026-08-15T01:00:00Z", "c" * 40))))))
     // a later comparable line closes it (whatever its own content)
     val f2 = tmpFile(Seq(leadLine(3.22, rerun = Some(3.58)),
       leadLine(1.96, flagged = false)).mkString("", "\n", "\n"))
-    assert(Bench.lastOpenLeads(f2, 32, Some(0.1), true).exists(_._3.isEmpty))
+    assert(Bench.lastOpenLeads(f2, 32, Some(0.1), true).exists(_.leads.isEmpty))
     assert(Bench.lastOpenLeads("/no/such/file.jsonl", 32, Some(0.1), true).isEmpty)
   }
 
@@ -199,32 +205,35 @@ class BenchSuspectSpec extends AnyFunSuite {
     // block and the lead silently dies. With it, line N+1's own
     // prior_suspect block re-exposes the lead with its ORIGINAL
     // evidence.
+    val origin = Some(("2026-08-15T01:00:00Z", "c" * 40))
     val unadjudicated = Bench.priorSuspectJson(
-      Map("q42" -> ((3.22, Option(3.58)))),
+      Map("q42" -> Bench.Lead(3.22, Option(3.58), origin)),
       Some(("2026-08-15T01:00:00Z", "c" * 40)), freshJvm = true,
       Map.empty, Map("q42" -> None))
     val carrier = leadLine(1.0, flagged = false, prior = unadjudicated,
       sha = "d" * 40)
     assert(Bench.openLeadsOf(carrier, 32, Some(0.1), true)
-      .exists(_._3 === Map("q42" -> ((3.22, Some(3.58))))))
+      .exists(_.leads === Map("q42" -> Bench.Lead(3.22, Some(3.58), origin))))
     // an ADJUDICATED prior lead (refuted here) does not carry
     val refuted = Bench.priorSuspectJson(
-      Map("q42" -> ((3.22, Option(3.58)))),
+      Map("q42" -> Bench.Lead(3.22, Option(3.58), origin)),
       Some(("2026-08-15T01:00:00Z", "c" * 40)), freshJvm = true,
       Map("q42" -> 1.96), Map("q42" -> Some("refuted")))
     assert(Bench.openLeadsOf(leadLine(1.0, flagged = false, prior = refuted),
-      32, Some(0.1), true).exists(_._3.isEmpty))
+      32, Some(0.1), true).exists(_.leads.isEmpty))
     // end-to-end through the file: lead line, then the failed-query
     // carrier — lastOpenLeads surfaces the carried lead from the
-    // ADJACENT line (the carrier), original numbers intact
+    // ADJACENT line (the carrier), original numbers AND origin intact
     val f = tmpFile(Seq(leadLine(3.22, rerun = Some(3.58)), carrier)
       .mkString("", "\n", "\n"))
-    val Some((_, sha, leads)) = Bench.lastOpenLeads(f, 32, Some(0.1), true)
-    assert(sha === "d" * 40 && leads === Map("q42" -> ((3.22, Some(3.58)))))
+    val Some(p) = Bench.lastOpenLeads(f, 32, Some(0.1), true)
+    assert(p.sha === "d" * 40 &&
+      p.leads === Map("q42" -> Bench.Lead(3.22, Some(3.58), origin)))
     // the carrier's OWN suspect evidence wins over a stale carried copy
     val both = leadLine(4.0, rerun = Some(4.2), prior = unadjudicated)
     assert(Bench.openLeadsOf(both, 32, Some(0.1), true)
-      .exists(_._3 === Map("q42" -> ((4.0, Some(4.2))))))
+      .exists(_.leads === Map("q42" -> Bench.Lead(4.0, Some(4.2),
+        Some(("2026-08-15T01:00:00Z", "c" * 40))))))
   }
 
   test("scanHistory: one pass yields both the bands and the last line's leads") {
@@ -232,14 +241,15 @@ class BenchSuspectSpec extends AnyFunSuite {
       leadLine(30.0, clean = false)).mkString("", "\n", "\n"))
     val (bands, last) = Bench.scanHistory(f, 32, Some(0.1), headlineOrdered = true)
     assert(bands("q42") === Seq(3.22) && bands("d57_containment") === Seq(4.0))
-    assert(last.exists(_._3 === Map("q42" -> ((3.22, Some(3.58))))))
+    assert(last.exists(_.leads === Map("q42" ->
+      Bench.Lead(3.22, Some(3.58), Some(("2026-08-15T01:00:00Z", "c" * 40))))))
     assert(Bench.scanHistory("/no/such.jsonl", 32, Some(0.1), true)
       === ((Map.empty, None)))
   }
 
   test("priorSuspectJson escapes a hostile lead name from parsed history") {
     val j = JsonMethods.parse("{" + Bench.priorSuspectJson(
-      Map("""q"42\x""" -> ((3.22, Option.empty[Double]))), None,
+      Map("""q"42\x""" -> Bench.Lead(3.22, None, None)), None,
       freshJvm = true, Map.empty, Map.empty) + "}")
     assert(jnumOf(j \ "prior_suspect" \ """q"42\x""" \ "prior_min") === Some(3.22))
   }
@@ -251,14 +261,15 @@ class BenchSuspectSpec extends AnyFunSuite {
   }
 
   test("adjudicate: re-flagged = confirmed, in-band = refuted, failed = null") {
-    val leads = Map("q42" -> ((3.22, Option(3.58))), "gone" -> ((9.0, Option(9.0))))
+    val leads = Map("q42" -> Bench.Lead(3.22, Option(3.58), None),
+      "gone" -> Bench.Lead(9.0, Option(9.0), None))
     // in-band this run (the real outcome: 1.96, not re-flagged) -> refuted;
     // a registry query that FAILED this run -> null (carries forward)
     assert(Bench.adjudicate(leads, Map("q42" -> 1.96), Map.empty, Set("gone"),
       Set("q42", "gone"))
       === Map("q42" -> Some("refuted"), "gone" -> None))
     // re-flagged this run -> confirmed (a regression reproduces)
-    assert(Bench.adjudicate(Map("q42" -> ((3.22, Option(3.58)))),
+    assert(Bench.adjudicate(Map("q42" -> Bench.Lead(3.22, Option(3.58), None)),
       Map("q42" -> 3.3), Map("q42" -> ((2.05, 10))), Set.empty, Set("q42"))
       === Map("q42" -> Some("confirmed")))
   }
@@ -267,7 +278,7 @@ class BenchSuspectSpec extends AnyFunSuite {
     // without this, a renamed/removed query's lead has no possible
     // measurement, stays verdict-null, and the carry-forward re-emits it
     // on every future comparable line forever
-    val leads = Map("old_name" -> ((9.0, Option(9.5))))
+    val leads = Map("old_name" -> Bench.Lead(9.0, Option(9.5), None))
     assert(Bench.adjudicate(leads, Map("q42" -> 1.96), Map.empty, Set.empty,
       Set("q42")) === Map("old_name" -> Some("retired")))
     // and a retired verdict closes the carry: the emitting line is no
@@ -276,7 +287,7 @@ class BenchSuspectSpec extends AnyFunSuite {
       "c" * 40)), freshJvm = true, Map.empty,
       Map("old_name" -> Some("retired")))
     assert(Bench.openLeadsOf(leadLine(1.0, flagged = false, prior = retired),
-      32, Some(0.1), true).exists(_._3.isEmpty))
+      32, Some(0.1), true).exists(_.leads.isEmpty))
   }
 
   test("END-TO-END: the q42 incident replayed — next comparable line refutes") {
@@ -286,7 +297,8 @@ class BenchSuspectSpec extends AnyFunSuite {
       Seq(leadLine(3.22, rerun = Some(3.58)), leadLine(30.0, clean = false)))
       .mkString("", "\n", "\n"))
     val bands = Bench.historyBands(hist, 32, Some(0.1), headlineOrdered = true)
-    val Some((_, _, leads)) = Bench.lastOpenLeads(hist, 32, Some(0.1), true)
+    val Some(pl) = Bench.lastOpenLeads(hist, 32, Some(0.1), true)
+    val leads = pl.leads
     assert(leads.keySet === Set("q42"))
     // this run reads 1.96: not re-flagged against the same bands -> refuted
     val best = Map("q42" -> 1.96, "q01" -> 1.0)
@@ -302,20 +314,25 @@ class BenchSuspectSpec extends AnyFunSuite {
       === Map("q42" -> Some("confirmed")))
   }
 
-  test("priorSuspectJson: evidence + verdict + src, parseable, null-safe") {
+  test("priorSuspectJson: evidence + origin + verdict + src, parseable, null-safe") {
     val j = JsonMethods.parse("{" + Bench.priorSuspectJson(
-      Map("q42" -> ((3.22, Option(3.58))), "gone" -> ((9.0, Option.empty[Double]))),
+      Map("q42" -> Bench.Lead(3.22, Option(3.58),
+            Some(("2026-08-15T01:00:00Z", "c" * 40))),
+          "gone" -> Bench.Lead(9.0, None, None)),
       Some(("2026-08-15T01:00:00Z", "c" * 40)), freshJvm = true,
       Map("q42" -> 1.96),
       Map("q42" -> Some("refuted"), "gone" -> None)) + "}")
     val q = j \ "prior_suspect" \ "q42"
     assert(q \ "prior_min" === JDouble(3.22))
     assert(q \ "prior_rerun" === JDouble(3.58))
+    assert(q \ "origin" \ "ts" === JString("2026-08-15T01:00:00Z"))
+    assert(q \ "origin" \ "sha" === JString("c" * 40))
     assert(q \ "min" === JDouble(1.96))
     assert(q \ "verdict" === JString("refuted"))
     // a lead whose query failed/didn't run this time: nulls, verdict open
     val g = j \ "prior_suspect" \ "gone"
     assert(g \ "prior_rerun" === JNull && g \ "min" === JNull && g \ "verdict" === JNull)
+    assert(g \ "origin" === JNull) // origin-less pre-vintage lead
     assert(j \ "prior_suspect_src" \ "sha" === JString("c" * 40))
     assert(j \ "prior_suspect_src" \ "fresh_jvm" === JBool(true))
     // the nothing-open shape
@@ -348,5 +365,115 @@ class BenchSuspectSpec extends AnyFunSuite {
     val noRerun = JsonMethods.parse("{" + Bench.suspectJson(
       Map("q" -> ((1.0, 9))), Map("q" -> 3.0), Map.empty, None) + "}")
     assert(noRerun \ "suspect_detail" \ "q" \ "rerun" === JNull)
+  }
+
+  // ── Round 19: per-lead origin, non-finite guards, last_clean, SUMMARY ──
+
+  test("origin: a carried lead keeps the MEASURING line's ts/sha, two hops deep") {
+    // lead measured at line A; line B (sha d…) could not adjudicate it
+    // (verdict null) and carries it; line C reads B. C's bisect target
+    // must be A — B's prior_suspect_src names B's own adjudication
+    // target, but the lead's origin field survives the hop verbatim.
+    val originA = Some(("2026-08-15T01:00:00Z", "a" * 40))
+    val carriedByB = Bench.priorSuspectJson(
+      Map("q42" -> Bench.Lead(3.22, Some(3.58), originA)),
+      Some(("2026-08-15T02:00:00Z", "b" * 40)), freshJvm = true,
+      Map.empty, Map("q42" -> None))
+    val lineB = leadLine(1.0, flagged = false, prior = carriedByB, sha = "d" * 40)
+    assert(Bench.openLeadsOf(lineB, 32, Some(0.1), true)
+      .exists(_.leads === Map("q42" -> Bench.Lead(3.22, Some(3.58), originA))))
+  }
+
+  test("origin: a pre-origin vintage entry falls back to the carrier's src") {
+    // entries written before the per-lead origin field existed carry no
+    // `origin` key; for a first-hop carry the carrier's
+    // prior_suspect_src IS the measuring line, so it backfills
+    val vintage =
+      s"""{"ts":"2026-08-15T03:00:00Z","sha":"${"e" * 40}","jvm_run":1,""" +
+        """"mode":"both","cpus":32,"sf_num":0.1,""" +
+        """"samples":{"q01":[1.0]},"queries":{"q01":1.0},"failed":[],"value":1.0,""" +
+        """"suspect":[],"suspect_detail":{},"rerun_steal_delta":null,""" +
+        """"prior_suspect":{"q42":{"prior_min":3.22,"prior_rerun":3.58,"min":null,"verdict":null}},""" +
+        s""""prior_suspect_src":{"ts":"2026-08-15T01:00:00Z","sha":"${"a" * 40}","fresh_jvm":true},""" +
+        """"steal_delta":0,"noncomparable":false}"""
+    assert(Bench.openLeadsOf(vintage, 32, Some(0.1), true)
+      .exists(_.leads === Map("q42" -> Bench.Lead(3.22, Some(3.58),
+        Some(("2026-08-15T01:00:00Z", "a" * 40))))))
+  }
+
+  test("non-finite guard: 1e999 in history parses away; serializers emit null") {
+    // parse side: a mangled line whose sample overflows to Infinity
+    // contributes nothing to the band (and can never reach a serializer)
+    val mangled = """{"mode":"both","cpus":32,"sf_num":0.1,""" +
+      """"samples":{"q01":[1e999],"q02":[2.0]},"noncomparable":false}"""
+    assert(Bench.lineQueryMins(mangled, 32, Some(0.1), true) === Map("q02" -> 2.0))
+    // serialize side (belt and braces): a non-finite value becomes null,
+    // never the JSON-invalid `Infinity` token that would invalidate the
+    // emitting line (which the next run would then silently discard)
+    val j = JsonMethods.parse("{" + Bench.priorSuspectJson(
+      Map("q" -> Bench.Lead(Double.PositiveInfinity, Some(Double.NaN), None)),
+      None, freshJvm = true, Map("q" -> Double.NegativeInfinity),
+      Map("q" -> None)) + "}")
+    val q = j \ "prior_suspect" \ "q"
+    assert(q \ "prior_min" === JNull && q \ "prior_rerun" === JNull
+      && q \ "min" === JNull)
+    assert(Bench.jsonNum(1.5) === "1.5" && Bench.jsonNum(Double.NaN) === "null")
+  }
+
+  test("last_clean: dirty lines carry the adjudicated-clean reference; clean don't") {
+    val p = Bench.PriorLine("2026-08-15T01:00:00Z", "c" * 40, Some(52.45), Map.empty)
+    // dirty run (noncomparable:true): the line that says "don't trust
+    // me" also names the trusted number (the r18 74.16 s storm capture
+    // needed a manual BENCH_HISTORY read to find 52.45 s on the same sha)
+    val dirty = JsonMethods.parse(
+      "{" + Bench.lastCleanField(Some(true), Some(p)).stripSuffix(",") + "}")
+    assert(dirty \ "last_clean" \ "value" === JDouble(52.45))
+    assert(dirty \ "last_clean" \ "ts" === JString("2026-08-15T01:00:00Z"))
+    assert(dirty \ "last_clean" \ "sha" === JString("c" * 40))
+    // unknown covariates are not clean either
+    assert(Bench.lastCleanField(None, Some(p)).nonEmpty)
+    // no comparable history: null, never absent on a dirty line
+    assert(Bench.lastCleanField(Some(true), None) === """"last_clean":null,""")
+    // clean run: the line IS the reference — field omitted entirely
+    assert(Bench.lastCleanField(Some(false), Some(p)) === "")
+    // a prior line whose value was absent/non-finite: value null, not crash
+    val noVal = Bench.PriorLine("t", "s", None, Map.empty)
+    assert(JsonMethods.parse(Bench.lastCleanInner(Some(noVal)))
+      \ "value" === JNull)
+  }
+
+  test("BENCH_SUMMARY: complete, parseable, schema-pinned") {
+    val p = Bench.PriorLine("2026-08-15T01:00:00Z", "c" * 40, Some(52.45), Map.empty)
+    val sus = Bench.suspectJson(Map("d57_containment" -> ((4.025, 6))),
+      Map("d57_containment" -> 12.46), Map.empty, None)
+    val pri = Bench.priorSuspectJson(Map.empty, None, freshJvm = true,
+      Map.empty, Map.empty)
+    // the r18 driver-capture shape: dirty headline, d57 suspect, and —
+    // new — the trusted clean reference in the same parseable artifact
+    val j = JsonMethods.parse(Bench.summaryJson("2026-08-15T04:00:00Z",
+      "f" * 40, 1, "both", 32, "/root/testdata/sf0.1", 74.16, "[]",
+      sus, pri, Some(true), Some(p), Some(2411L)))
+    assert(j \ "ts" === JString("2026-08-15T04:00:00Z"))
+    assert(j \ "sha" === JString("f" * 40))
+    assert(j \ "jvm_run" === JInt(1))
+    assert(j \ "mode" === JString("both"))
+    assert(j \ "cpus" === JInt(32))
+    assert(j \ "sf_num" === JDouble(0.1))
+    assert(j \ "value" === JDouble(74.16))
+    assert(j \ "failed" === JArray(Nil))
+    assert(j \ "suspect" === JArray(List(JString("d57_containment"))))
+    assert(j \ "suspect_detail" \ "d57_containment" \ "min" === JDouble(12.46))
+    assert(j \ "prior_suspect" === JObject(Nil))
+    assert(j \ "prior_suspect_src" === JNull)
+    assert(j \ "last_clean" \ "value" === JDouble(52.45))
+    assert(j \ "steal_delta" === JInt(2411))
+    assert(j \ "noncomparable" === JBool(true))
+    // clean run: last_clean null (the run itself is the reference)
+    val clean = JsonMethods.parse(Bench.summaryJson("t", "s", 2, "both", 32,
+      "/root/testdata/sf0.1", 52.45, "[]", sus, pri, Some(false), Some(p),
+      Some(10L)))
+    assert(clean \ "last_clean" === JNull)
+    assert(clean \ "jvm_run" === JInt(2))
+    assert(clean \ "noncomparable" === JBool(false))
   }
 }

@@ -295,14 +295,28 @@ def summary(runs):
         src = d.get("prior_suspect_src") or {}
         for q, det in sorted((d.get("prior_suspect") or {}).items()):
             verdict = det.get("verdict") or "unadjudicated (not run here)"
-            print("    prior lead {} (from {} @{}): min {} rerun {} -> "
-                  "this run {} — {}{}".format(
-                q, src.get("ts", "-")[:19], str(src.get("sha", "-"))[:8],
+            # round-19: `origin` names the line where the lead's evidence
+            # was MEASURED (survives carry-forward hops verbatim) — the
+            # bisect target; src names the adjacent line this run
+            # adjudicated. Pre-origin vintage entries fall back to src.
+            origin = det.get("origin") or src
+            print("    prior lead {} (measured {} @{}, via {} @{}): "
+                  "min {} rerun {} -> this run {} — {}{}".format(
+                q, origin.get("ts", "-")[:19], str(origin.get("sha", "-"))[:8],
+                src.get("ts", "-")[:19], str(src.get("sha", "-"))[:8],
                 fmt(det.get("prior_min"), "{:.2f}"),
                 fmt(det.get("prior_rerun"), "{:.2f}"),
                 fmt(det.get("min"), "{:.2f}"), verdict,
                 " (fresh jvm)" if src.get("fresh_jvm") is True
                 else " (same jvm)" if src.get("fresh_jvm") is False else ""))
+        # round-19: a dirty line now names its own trusted reference —
+        # the most recent comparable line's headline — so triage never
+        # has to walk the file for it
+        lc = d.get("last_clean")
+        if isinstance(lc, dict):
+            print("    last clean: {} @ {} ({})".format(
+                fmt(lc.get("value"), "{:.2f}"),
+                str(lc.get("sha", "-"))[:8], lc.get("ts", "-")[:19]))
 
 
 def one_query(runs, q):
@@ -622,12 +636,26 @@ def selftest():
               "suspect": [], "suspect_detail": {},
               "prior_suspect": {
                   "q42": {"prior_min": 3.22, "prior_rerun": 3.58,
+                          "origin": {"ts": "2026-08-15T00:00:00Z",
+                                     "sha": "a" * 40},
                           "min": 1.96, "verdict": "refuted"},
                   "gone": {"prior_min": 9.0, "prior_rerun": None,
                            "min": None, "verdict": None}},
               "prior_suspect_src": {"ts": "2026-08-15T01:00:00Z",
                                     "sha": "b" * 40, "fresh_jvm": True},
-              "steal_delta": 1, "noncomparable": False}])
+              "steal_delta": 1, "noncomparable": False},
+             # round-19 dirty-line shape: last_clean names the trusted
+             # reference right on the storm capture
+             {"ts": "2026-08-15T03:00:00Z", "sha": "c" * 40, "jvm_run": 1,
+              "cpus": 32, "sf_num": 0.1, "mode": "both", "value": 74.16,
+              "queries": {"q42": 15.0}, "failed": [],
+              "suspect": ["q42"],
+              "suspect_detail": {"q42": {"min": 15.0, "band_median": 2.0,
+                                         "n": 70, "rerun": None}},
+              "prior_suspect": {}, "prior_suspect_src": None,
+              "last_clean": {"value": 52.45, "ts": "2026-08-15T02:30:00Z",
+                             "sha": "b" * 40},
+              "steal_delta": 2411, "noncomparable": True}])
     print("selftest OK")
 
 
