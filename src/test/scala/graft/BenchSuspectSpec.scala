@@ -476,4 +476,35 @@ class BenchSuspectSpec extends AnyFunSuite {
     assert(clean \ "jvm_run" === JInt(2))
     assert(clean \ "noncomparable" === JBool(false))
   }
+
+  test("scan-cost canary: a 200-line, 74-query history scans in trivial time") {
+    // The history is append-only and every run scans it once (bands +
+    // prior leads, one pass). This pins that the scan stays trivially
+    // cheap at ABOVE the real file's scale (163 lines as of round 19),
+    // answering "cap the band scan to the last N lines?" with a
+    // measured NO — revisit the cap only if this canary's budget ever
+    // tightens. Budget is deliberately loose (10 s on a possibly-stormy
+    // CI host) against an expected few hundred ms.
+    val queries = (1 to 74).map(i => f"q$i%02d_synthetic")
+    val cov = Bench.covariateJson(Some((1.0, 1.0, 1.0)), Some(0L))
+    def bigLine(i: Int): String = {
+      val samples = queries.map { q =>
+        val base = 0.5 + (q.hashCode.abs % 100) / 50.0
+        s""""$q":[${base + 0.3},${base + 0.1},$base]"""
+      }.mkString("{", ",", "}")
+      val body = s"""{${Bench.lineHead("both", 32, "/root/testdata/sf0.1", cov, cov)},""" +
+        s""""samples":$samples,"failed":[],"value":60.0,""" +
+        s"""${Bench.verdictFields(Some(0L), Some(false))}}"""
+      Bench.historyLine(body, "2026-08-15T00:00:00Z", "b" * 40, 1)
+    }
+    val f = tmpFile((1 to 200).map(bigLine).mkString("", "\n", "\n"))
+    val t0 = System.nanoTime()
+    val (bands, last) = Bench.scanHistory(f, 32, Some(0.1), headlineOrdered = true)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(bands.size === 74 && bands.values.forall(_.size == 200))
+    assert(last.exists(_.leads.isEmpty))
+    info(f"scanHistory over 200x74 lines: $elapsedMs%.0f ms")
+    assert(elapsedMs < 10000.0,
+      f"history scan took $elapsedMs%.0f ms — consider capping the band scan")
+  }
 }
