@@ -299,10 +299,43 @@ object Bench {
       origin: Option[(String, String)])
 
   /** The last cohort-comparable history line, parsed: provenance
-    * (ts, sha), its headline `value` (None when absent/non-finite), and
-    * its open leads. */
+    * (ts, sha) and its open leads. */
   private[graft] final case class PriorLine(ts: String, sha: String,
-      value: Option[Double], leads: Map[String, Lead])
+      leads: Map[String, Lead])
+
+  /** A history line usable as the TRUSTED headline reference
+    * (`last_clean`): cohort-comparable AND nothing wrong with its own
+    * headline — no failed queries (a failed line's value is the -1.0
+    * sentinel) and no suspects (a flagged query's spiked min stays in
+    * the headline sum even when the rerun self-cleared; the settling
+    * sample is recorded beside it, not merged). Comparability alone is
+    * a covariate verdict and says nothing about either. jvmRun rides
+    * along so a reader never mistakes a warm repeat for a cold fresh
+    * invocation (None on a pre-jvm_run vintage line). */
+  private[graft] final case class CleanRef(ts: String, sha: String,
+      jvmRun: Option[Int], value: Double)
+
+  /** The [[CleanRef]] of ONE already-accepted (cohort-comparable) line,
+    * None when its own headline is not reference-grade (failed queries,
+    * suspects, or a missing/non-finite/negative value). Absent arrays
+    * read as empty: a pre-suspect-vintage line can't disqualify on a
+    * field it never carried. */
+  private def cleanRefOfJson(j: org.json4s.JValue): Option[CleanRef] = {
+    import org.json4s._
+    def emptyArr(v: JValue): Boolean = v match {
+      case JArray(xs) => xs.isEmpty
+      case _          => true
+    }
+    def str(v: JValue): String = v match {
+      case JString(s) => s
+      case _          => "unknown"
+    }
+    for {
+      v <- jnum(j \ "value")
+      if v >= 0 && emptyArr(j \ "failed") && emptyArr(j \ "suspect")
+    } yield CleanRef(str(j \ "ts"), str(j \ "sha"),
+      jnum(j \ "jvm_run").map(_.toInt), v)
+  }
 
   /** Open leads of ONE already-accepted line's JSON (see
     * [[openLeadsOf]] for the contract). */
@@ -341,25 +374,28 @@ object Bench {
     // run the query would silently close a potential regression lead
     // (this line becomes the cohort's most recent comparable line, and
     // without the carry-forward the next run would find nothing open).
-    // Origin rides per-lead (`origin` in the entry); entries written
-    // before the field existed fall back to the carrier's
-    // prior_suspect_src — the line it adjudicated, which for a
-    // first-hop carry IS where the evidence was measured. A line's own
-    // suspect_detail wins on overlap: fresher evidence.
-    val srcOrigin = tsSha(j \ "prior_suspect_src")
+    // Origin rides per-lead (`origin` in the entry) and is preserved
+    // verbatim or stays None — NEVER backfilled from the carrier's
+    // prior_suspect_src: for a first-hop carry that src is where the
+    // evidence was measured, but for a deeper pre-vintage chain it is a
+    // later carrier, and this line cannot tell the two apart. Writing
+    // the guess as `origin` would launder it into measured-here
+    // provenance that every later hop then preserves "verbatim"; a
+    // None origin is honest, and the history tool displays the src as
+    // its best-effort pointer without the line asserting it. A line's
+    // own suspect_detail wins on overlap: fresher evidence.
     val carried = (j \ "prior_suspect") match {
       case JObject(fields) =>
         fields.flatMap { case (q, d) =>
           (d \ "verdict") match {
             case JString(_) => None // refuted or confirmed: adjudicated here
             case _ => jnum(d \ "prior_min").map(m =>
-              q -> Lead(m, jnum(d \ "prior_rerun"),
-                tsSha(d \ "origin").orElse(srcOrigin)))
+              q -> Lead(m, jnum(d \ "prior_rerun"), tsSha(d \ "origin")))
           }
         }.toMap
       case _ => Map.empty[String, Lead]
     }
-    PriorLine(ts, sha, jnum(j \ "value"), carried ++ leads)
+    PriorLine(ts, sha, carried ++ leads)
   }
 
   /** The prior line's open leads: ts, sha, and for each suspect that did
@@ -385,28 +421,34 @@ object Bench {
       sfNum: Option[Double], headlineOrdered: Boolean): Option[PriorLine] =
     scanHistory(path, cpus, sfNum, headlineOrdered)._2
 
-  /** ONE pass over the history file collecting both things a bench run
-    * needs from it: every comparable line's per-query mins (the bands)
-    * and the last comparable line's open leads. The two consumers used
-    * to scan the file independently — 2× full parses per repeat of a
-    * file that grows with every run. Missing/unreadable file → empty
-    * band map and no leads, never fatal. */
+  /** ONE pass over the history file collecting everything a bench run
+    * needs from it: every comparable line's per-query mins (the bands),
+    * the last comparable line's open leads, and the last
+    * reference-grade line (see [[CleanRef]] — comparable AND
+    * failed/suspect-free, the `last_clean` target; the lead line and
+    * the reference line are often different lines, because an open
+    * lead is precisely a headline not to trust). The full lead parse
+    * runs once, on the last comparable line only — per-line work is the
+    * band mins plus the cheap reference check. Missing/unreadable file
+    * → empty band map and no leads/reference, never fatal. */
   private[graft] def scanHistory(path: String, cpus: Int,
       sfNum: Option[Double], headlineOrdered: Boolean)
-      : (Map[String, Seq[Double]], Option[PriorLine]) =
+      : (Map[String, Seq[Double]], Option[PriorLine], Option[CleanRef]) =
     try {
       val src = scala.io.Source.fromFile(path)
       try {
         val acc = scala.collection.mutable.Map.empty[String, List[Double]]
-        var last: Option[PriorLine] = None
+        var lastJ: Option[org.json4s.JValue] = None
+        var lastClean: Option[CleanRef] = None
         for (line <- src.getLines();
              j <- parseComparable(line, cpus, sfNum, headlineOrdered)) {
           for ((q, m) <- minsOfJson(j)) acc(q) = m :: acc.getOrElse(q, Nil)
-          last = Some(leadsOfJson(j))
+          lastJ = Some(j)
+          cleanRefOfJson(j).foreach(r => lastClean = Some(r))
         }
-        (acc.toMap, last)
+        (acc.toMap, lastJ.map(leadsOfJson), lastClean)
       } finally src.close()
-    } catch { case _: Exception => (Map.empty, None) }
+    } catch { case _: Exception => (Map.empty, None, None) }
 
   /** Verdict per open lead, from THIS run's evidence: `confirmed` when
     * this run independently re-flagged the query (same ratio+floor rule
@@ -466,13 +508,28 @@ object Bench {
     s""""prior_suspect":$body,"prior_suspect_src":$srcJson"""
   }
 
-  /** The most recent comparable history line as
-    * `{"value":…,"ts":…,"sha":…}`, `null` with no comparable history —
-    * the adjudicated-clean reference a reader of a dirty line needs. */
-  private[graft] def lastCleanInner(last: Option[PriorLine]): String =
-    last.map(p =>
-      s"""{"value":${p.value.map(jsonNum).getOrElse("null")},""" +
-        s""""ts":${jsonStr(p.ts)},"sha":${jsonStr(p.sha)}}""").getOrElse("null")
+  /** The most recent reference-grade history line (see [[CleanRef]])
+    * as `{"value":…,"ts":…,"sha":…,"jvm_run":…}`, `null` when none
+    * exists — the trusted number a reader of a dirty line needs.
+    * jvm_run discloses warm-repeat provenance: a warm repeat and a
+    * cold fresh run are different reference points. */
+  private[graft] def lastCleanInner(ref: Option[CleanRef]): String =
+    ref.map(r =>
+      s"""{"value":${jsonNum(r.value)},""" +
+        s""""ts":${jsonStr(r.ts)},"sha":${jsonStr(r.sha)},""" +
+        s""""jvm_run":${r.jvmRun.map(_.toString).getOrElse("null")}}""").getOrElse("null")
+
+  /** THE single clean-run gate for `last_clean`, shared by the history
+    * line and BENCH_SUMMARY.json so the two artifacts can never
+    * disagree on when the reference is populated: None on a run
+    * adjudicated clean (that run IS the reference), otherwise the
+    * serialized reference (or the literal `null` with no
+    * reference-grade history). The two emitters differ only in
+    * presentation — the line omits the field entirely when clean, the
+    * summary writes the key with `null`. */
+  private[graft] def lastCleanValue(noncmp: Option[Boolean],
+      ref: Option[CleanRef]): Option[String] =
+    if (noncmp.contains(false)) None else Some(lastCleanInner(ref))
 
   /** `"last_clean":…,` — spliced just ahead of the verdict tail on a
     * run that is NOT adjudicated clean (noncomparable true or unknown):
@@ -484,8 +541,8 @@ object Bench {
     * carries it. Empty on a clean run — the clean line IS the
     * reference. */
   private[graft] def lastCleanField(noncmp: Option[Boolean],
-      last: Option[PriorLine]): String =
-    if (noncmp.contains(false)) "" else s""""last_clean":${lastCleanInner(last)},"""
+      ref: Option[CleanRef]): String =
+    lastCleanValue(noncmp, ref).map(v => s""""last_clean":$v,""").getOrElse("")
 
   /** The complete machine-readable twin of the stdout line, written to
     * BENCH_SUMMARY.json (overwritten per run, like BENCH_FULL.json).
@@ -502,14 +559,14 @@ object Bench {
   private[graft] def summaryJson(ts: String, sha: String, jvmRun: Int,
       mode: String, cpus: Int, sfDir: String, total: Double,
       failedJson: String, suspectBlock: String, priorBlock: String,
-      noncmp: Option[Boolean], last: Option[PriorLine],
+      noncmp: Option[Boolean], ref: Option[CleanRef],
       stealD: Option[Long]): String =
     s"""{"ts":${jsonStr(ts)},"sha":${jsonStr(sha)},"jvm_run":$jvmRun,""" +
       s""""mode":"$mode","cpus":$cpus,""" +
       s""""sf_num":${sfNumber(sfDir).map(_.toString).getOrElse("null")},""" +
       s""""value":${jsonNum(total)},"failed":$failedJson,""" +
       s"""$suspectBlock,$priorBlock,""" +
-      s""""last_clean":${if (noncmp.contains(false)) "null" else lastCleanInner(last)},""" +
+      s""""last_clean":${lastCleanValue(noncmp, ref).getOrElse("null")},""" +
       s"""${verdictFields(stealD, noncmp)}}"""
 
   /** Best-effort numeric scale factor parsed from the testdata dir name
@@ -747,8 +804,9 @@ object Bench {
     // nothing) — re-run just the flagged queries once so the artifact
     // carries the settling sample. The re-runs are bracketed by their
     // own steal delta (rerun_steal_delta) so THEY are adjudicable too.
-    // one pass serves both the bands and the prior-lead read below
-    val (bands, lastLeads) =
+    // one pass serves the bands, the prior-lead read, and the
+    // last_clean reference below
+    val (bands, lastLeads, lastClean) =
       scanHistory("BENCH_HISTORY.jsonl", cpus, sfNumber(sfDir), headlineOrdered)
     val suspect = suspectsOf(best.toMap, bands)
     val rerun: Map[String, Double] =
@@ -811,7 +869,7 @@ object Bench {
     val suspectBlock = suspectJson(suspect, best.toMap, rerun, rerunStealD)
     val priorBlock = priorSuspectJson(priorLeads, prior.map(p => (p.ts, p.sha)),
       !appendedComparable, best.toMap, priorVerdicts)
-    val line = s"""{${lineHead(mode, cpus, sfDir, covStart, covEnd)},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total,$suspectBlock,$priorBlock,${lastCleanField(noncmp, lastLeads)}${verdictFields(stealD, noncmp)}}"""
+    val line = s"""{${lineHead(mode, cpus, sfDir, covStart, covEnd)},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total,$suspectBlock,$priorBlock,${lastCleanField(noncmp, lastClean)}${verdictFields(stealD, noncmp)}}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(line) finally w.close()
@@ -825,7 +883,7 @@ object Bench {
     try {
       val w = new java.io.PrintWriter("BENCH_SUMMARY.json")
       try w.println(summaryJson(ts, sha, jvmRun, mode, cpus, sfDir, total,
-        namesJson(failed), suspectBlock, priorBlock, noncmp, lastLeads,
+        namesJson(failed), suspectBlock, priorBlock, noncmp, lastClean,
         stealD))
       finally w.close()
     } catch { case _: Exception => () }

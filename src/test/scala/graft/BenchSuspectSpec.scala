@@ -158,8 +158,6 @@ class BenchSuspectSpec extends AnyFunSuite {
     val Some(p) = Bench.openLeadsOf(
       leadLine(3.22, rerun = Some(3.58)), 32, Some(0.1), headlineOrdered = true)
     assert(p.ts === "2026-08-15T01:00:00Z" && p.sha === "c" * 40)
-    // the line's headline value rides along, for last_clean
-    assert(p.value.exists(v => math.abs(v - 4.22) < 1e-9))
     // a lead the line flagged ITSELF was measured here: origin = (ts, sha)
     assert(p.leads === Map("q42" ->
       Bench.Lead(3.22, Some(3.58), Some(("2026-08-15T01:00:00Z", "c" * 40)))))
@@ -236,15 +234,21 @@ class BenchSuspectSpec extends AnyFunSuite {
         Some(("2026-08-15T01:00:00Z", "c" * 40))))))
   }
 
-  test("scanHistory: one pass yields both the bands and the last line's leads") {
+  test("scanHistory: one pass yields the bands, last leads, and clean reference") {
     val f = tmpFile(Seq(syntheticLine(4.0), leadLine(3.22, rerun = Some(3.58)),
       leadLine(30.0, clean = false)).mkString("", "\n", "\n"))
-    val (bands, last) = Bench.scanHistory(f, 32, Some(0.1), headlineOrdered = true)
+    val (bands, last, ref) = Bench.scanHistory(f, 32, Some(0.1), headlineOrdered = true)
     assert(bands("q42") === Seq(3.22) && bands("d57_containment") === Seq(4.0))
     assert(last.exists(_.leads === Map("q42" ->
       Bench.Lead(3.22, Some(3.58), Some(("2026-08-15T01:00:00Z", "c" * 40))))))
+    // the reference and the lead line are DIFFERENT lines here: the
+    // last comparable line carries an open suspect, so its headline
+    // (inflated by the spike) is not reference-grade — the reference is
+    // the older suspect-free line
+    assert(ref.exists(r => r.sha === "b" * 40 && r.value === 5.0
+      && r.jvmRun === Some(1)))
     assert(Bench.scanHistory("/no/such.jsonl", 32, Some(0.1), true)
-      === ((Map.empty, None)))
+      === ((Map.empty, None, None)))
   }
 
   test("priorSuspectJson escapes a hostile lead name from parsed history") {
@@ -384,10 +388,14 @@ class BenchSuspectSpec extends AnyFunSuite {
       .exists(_.leads === Map("q42" -> Bench.Lead(3.22, Some(3.58), originA))))
   }
 
-  test("origin: a pre-origin vintage entry falls back to the carrier's src") {
+  test("origin: a pre-origin vintage entry stays None — never backfilled from src") {
     // entries written before the per-lead origin field existed carry no
-    // `origin` key; for a first-hop carry the carrier's
-    // prior_suspect_src IS the measuring line, so it backfills
+    // `origin` key. The carrier's prior_suspect_src is the measuring
+    // line ONLY for a first-hop carry — for a deeper pre-vintage chain
+    // it is a later carrier, and the line cannot tell the two apart, so
+    // backfilling would launder a guess into measured-here provenance
+    // that every later hop preserves verbatim. None is honest; the
+    // history tool still displays src as its best-effort pointer.
     val vintage =
       s"""{"ts":"2026-08-15T03:00:00Z","sha":"${"e" * 40}","jvm_run":1,""" +
         """"mode":"both","cpus":32,"sf_num":0.1,""" +
@@ -397,8 +405,7 @@ class BenchSuspectSpec extends AnyFunSuite {
         s""""prior_suspect_src":{"ts":"2026-08-15T01:00:00Z","sha":"${"a" * 40}","fresh_jvm":true},""" +
         """"steal_delta":0,"noncomparable":false}"""
     assert(Bench.openLeadsOf(vintage, 32, Some(0.1), true)
-      .exists(_.leads === Map("q42" -> Bench.Lead(3.22, Some(3.58),
-        Some(("2026-08-15T01:00:00Z", "a" * 40))))))
+      .exists(_.leads === Map("q42" -> Bench.Lead(3.22, Some(3.58), None))))
   }
 
   test("non-finite guard: 1e999 in history parses away; serializers emit null") {
@@ -420,30 +427,59 @@ class BenchSuspectSpec extends AnyFunSuite {
     assert(Bench.jsonNum(1.5) === "1.5" && Bench.jsonNum(Double.NaN) === "null")
   }
 
-  test("last_clean: dirty lines carry the adjudicated-clean reference; clean don't") {
-    val p = Bench.PriorLine("2026-08-15T01:00:00Z", "c" * 40, Some(52.45), Map.empty)
+  test("last_clean: dirty lines carry the reference-grade line; clean don't") {
+    val p = Bench.CleanRef("2026-08-15T01:00:00Z", "c" * 40, Some(2), 52.45)
     // dirty run (noncomparable:true): the line that says "don't trust
     // me" also names the trusted number (the r18 74.16 s storm capture
-    // needed a manual BENCH_HISTORY read to find 52.45 s on the same sha)
+    // needed a manual BENCH_HISTORY read to find 52.45 s on the same
+    // sha), with jvm_run so a warm repeat is never mistaken for cold
     val dirty = JsonMethods.parse(
       "{" + Bench.lastCleanField(Some(true), Some(p)).stripSuffix(",") + "}")
     assert(dirty \ "last_clean" \ "value" === JDouble(52.45))
     assert(dirty \ "last_clean" \ "ts" === JString("2026-08-15T01:00:00Z"))
     assert(dirty \ "last_clean" \ "sha" === JString("c" * 40))
+    assert(dirty \ "last_clean" \ "jvm_run" === JInt(2))
     // unknown covariates are not clean either
     assert(Bench.lastCleanField(None, Some(p)).nonEmpty)
-    // no comparable history: null, never absent on a dirty line
+    // no reference-grade history: null, never absent on a dirty line
     assert(Bench.lastCleanField(Some(true), None) === """"last_clean":null,""")
     // clean run: the line IS the reference — field omitted entirely
     assert(Bench.lastCleanField(Some(false), Some(p)) === "")
-    // a prior line whose value was absent/non-finite: value null, not crash
-    val noVal = Bench.PriorLine("t", "s", None, Map.empty)
-    assert(JsonMethods.parse(Bench.lastCleanInner(Some(noVal)))
-      \ "value" === JNull)
+    // pre-jvm_run vintage reference: jvm_run null, not a crash
+    val noRun = Bench.CleanRef("t", "s", None, 50.0)
+    assert(JsonMethods.parse(Bench.lastCleanInner(Some(noRun)))
+      \ "jvm_run" === JNull)
+  }
+
+  test("last_clean: only a reference-grade line qualifies as the trusted number") {
+    // a comparable line with a FAILED query carries the -1.0 headline
+    // sentinel; a comparable line with a suspect carries the spiked min
+    // in its headline sum (the rerun is recorded beside it, not
+    // merged). Neither is a number to present as "trusted" — the
+    // reference must skip back to the last line with neither.
+    def failedLine(): String = {
+      val cov = Bench.covariateJson(Some((1.0, 1.0, 1.0)), Some(0L))
+      val body = s"""{${Bench.lineHead("both", 32, "/root/testdata/sf0.1", cov, cov)},""" +
+        s""""samples":{"q01":[1.0]},"queries":{"q01":1.0},""" +
+        s""""failed":["q99"],"value":-1.0,""" +
+        s"""${Bench.verdictFields(Some(0L), Some(false))}}"""
+      Bench.historyLine(body, "2026-08-15T05:00:00Z", "f" * 40, 1)
+    }
+    val f = tmpFile(Seq(
+      syntheticLine(4.0),                    // reference-grade, value 5.0
+      leadLine(3.22, rerun = Some(3.58)),    // comparable but suspect-inflated
+      failedLine()                           // comparable but value -1.0
+    ).mkString("", "\n", "\n"))
+    val (_, last, ref) = Bench.scanHistory(f, 32, Some(0.1), headlineOrdered = true)
+    // lead adjudication still targets the last comparable line's leads…
+    assert(last.exists(_.sha === "f" * 40))
+    // …but the trusted reference skips both disqualified lines
+    assert(ref === Some(Bench.CleanRef("2026-08-14T00:00:00Z", "b" * 40,
+      Some(1), 5.0)))
   }
 
   test("BENCH_SUMMARY: complete, parseable, schema-pinned") {
-    val p = Bench.PriorLine("2026-08-15T01:00:00Z", "c" * 40, Some(52.45), Map.empty)
+    val p = Bench.CleanRef("2026-08-15T01:00:00Z", "c" * 40, Some(1), 52.45)
     val sus = Bench.suspectJson(Map("d57_containment" -> ((4.025, 6))),
       Map("d57_containment" -> 12.46), Map.empty, None)
     val pri = Bench.priorSuspectJson(Map.empty, None, freshJvm = true,
@@ -499,7 +535,7 @@ class BenchSuspectSpec extends AnyFunSuite {
     }
     val f = tmpFile((1 to 200).map(bigLine).mkString("", "\n", "\n"))
     val t0 = System.nanoTime()
-    val (bands, last) = Bench.scanHistory(f, 32, Some(0.1), headlineOrdered = true)
+    val (bands, last, _) = Bench.scanHistory(f, 32, Some(0.1), headlineOrdered = true)
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(bands.size === 74 && bands.values.forall(_.size == 200))
     assert(last.exists(_.leads.isEmpty))

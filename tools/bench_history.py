@@ -314,9 +314,14 @@ def summary(runs):
         # has to walk the file for it
         lc = d.get("last_clean")
         if isinstance(lc, dict):
-            print("    last clean: {} @ {} ({})".format(
+            run = lc.get("jvm_run")
+            print("    last clean: {} @ {} ({}){}".format(
                 fmt(lc.get("value"), "{:.2f}"),
-                str(lc.get("sha", "-"))[:8], lc.get("ts", "-")[:19]))
+                str(lc.get("sha", "-"))[:8], lc.get("ts", "-")[:19],
+                # warm repeats are disclosed: not the same reference
+                # point as a cold fresh run
+                " [warm jvm_run {}]".format(run)
+                if isinstance(run, int) and run > 1 else ""))
 
 
 def one_query(runs, q):
@@ -654,7 +659,7 @@ def selftest():
                                          "n": 70, "rerun": None}},
               "prior_suspect": {}, "prior_suspect_src": None,
               "last_clean": {"value": 52.45, "ts": "2026-08-15T02:30:00Z",
-                             "sha": "b" * 40},
+                             "sha": "b" * 40, "jvm_run": 2},
               "steal_delta": 2411, "noncomparable": True}])
     print("selftest OK")
 
