@@ -519,30 +519,173 @@ object Bench {
         s""""ts":${jsonStr(r.ts)},"sha":${jsonStr(r.sha)},""" +
         s""""jvm_run":${r.jvmRun.map(_.toString).getOrElse("null")}}""").getOrElse("null")
 
-  /** THE single clean-run gate for `last_clean`, shared by the history
-    * line and BENCH_SUMMARY.json so the two artifacts can never
-    * disagree on when the reference is populated: None on a run
-    * adjudicated clean (that run IS the reference), otherwise the
-    * serialized reference (or the literal `null` with no
-    * reference-grade history). The two emitters differ only in
-    * presentation — the line omits the field entirely when clean, the
-    * summary writes the key with `null`. */
-  private[graft] def lastCleanValue(noncmp: Option[Boolean],
+  /** Whether THIS run's own headline is reference-grade — the emit gate
+    * for `last_clean`, the same rule [[cleanRefOfJson]] applies when
+    * READING history: comparable covariates AND no failed queries (a
+    * failed run's value is the -1.0 sentinel) AND no suspects (a
+    * flagged query's spiked min stays in the headline sum even when
+    * the rerun self-cleared). Round 19 gated on comparability alone,
+    * so a comparable run with failures or suspects omitted the field /
+    * wrote `last_clean:null` — the same null a genuinely clean run
+    * writes — and the "a line that says don't trust me also names the
+    * trusted number" property failed exactly on the runs whose
+    * headline the CleanRef rule itself distrusts (r19 ADVICE). */
+  private[graft] def referenceGrade(noncmp: Option[Boolean],
+      failed: Set[String], suspect: Set[String]): Boolean =
+    noncmp.contains(false) && failed.isEmpty && suspect.isEmpty
+
+  /** THE single reference-grade gate for `last_clean`, shared by the
+    * history line and BENCH_SUMMARY.json so the two artifacts can never
+    * disagree on when the reference is populated: None on a run whose
+    * own headline is reference-grade (see [[referenceGrade]] — that run
+    * IS the reference), otherwise the serialized reference (or the
+    * literal `null` with no reference-grade history). The two emitters
+    * differ only in presentation — the line omits the field entirely
+    * when reference-grade, the summary writes the key with `null`. */
+  private[graft] def lastCleanValue(refGrade: Boolean,
       ref: Option[CleanRef]): Option[String] =
-    if (noncmp.contains(false)) None else Some(lastCleanInner(ref))
+    if (refGrade) None else Some(lastCleanInner(ref))
 
   /** `"last_clean":…,` — spliced just ahead of the verdict tail on a
-    * run that is NOT adjudicated clean (noncomparable true or unknown):
-    * a line that says "don't trust me" should also name the trusted
+    * run whose own headline is NOT reference-grade (noncomparable true
+    * or unknown, a failed query, or an open suspect): a line whose
+    * headline should not be trusted should also name the trusted
     * number. The round-18 driver capture (74.16 s storm line) correctly
     * self-flagged, but finding the 52.45 s clean line on the same code
     * took a manual BENCH_HISTORY read; the history scan that builds the
-    * bands already parses exactly that line, so the dirty line now
-    * carries it. Empty on a clean run — the clean line IS the
+    * bands already parses exactly that line, so the distrusted line now
+    * carries it. Empty on a reference-grade run — that line IS the
     * reference. */
-  private[graft] def lastCleanField(noncmp: Option[Boolean],
+  private[graft] def lastCleanField(refGrade: Boolean,
       ref: Option[CleanRef]): String =
-    lastCleanValue(noncmp, ref).map(v => s""""last_clean":$v,""").getOrElse("")
+    lastCleanValue(refGrade, ref).map(v => s""""last_clean":$v,""").getOrElse("")
+
+  // ── Band verdict: clean-but-out-of-band headlines classify themselves ──
+  // The documented anchor band (tools/ANCHOR_BAND.json) is the normal
+  // range for the canonical cohort's headline. Twice a CLEAN line landed
+  // outside it and a human had to run `bench_history.py --compare` to
+  // learn what kind of excursion it was: 2026-08-14's 59.36 s @ Δ393
+  // above the hi (--compare said DIFFUSE — shared-resource contention,
+  // steal-invisible), and round 19's 49.14 s @ Δ59 below the lo (the
+  // fast-side re-base question). The per-query band medians are already
+  // in hand at emit time — the same single history scan that feeds
+  // [[suspectsOf]] — so the line now computes the --compare math itself
+  // and carries the verdict: DIFFUSE (most queries moved together —
+  // environmental, or the host re-based; on the fast side, a re-anchor
+  // signal), CONCENTRATED (a few specific plans moved — suspect a plan
+  // change), or comparable (the per-query evidence does not back the
+  // headline excursion).
+
+  /** Classification bars — keep in sync with tools/bench_history.py's
+    * COMPARE_* constants (each side's selftest pins its own copy; the
+    * calibration rationale lives in the tool's module docstring: the
+    * 2026-08-13 diffuse session and the round-14 record). */
+  private[graft] val BandElevated = 1.05
+  private[graft] val BandDiffuseFrac = 0.7
+  private[graft] val BandConcentrated = 1.5
+  /** Band medians under this are timer noise — same 50 ms floor as the
+    * tool's COMPARE_MIN_SEC base-run exclusion. */
+  private[graft] val BandMinSec = 0.05
+
+  /** The documented anchor band, read from tools/ANCHOR_BAND.json
+    * (written by `tools/anchor_bench.sh --reanchor`, carries
+    * provenance). lo/hi must be finite numbers; cpus/sf_num identify
+    * the one cohort the band judges — a verdict is only computed when
+    * they match the run's. None on a missing/garbled file: the bench
+    * must never fail because the band does not exist yet. */
+  private[graft] final case class AnchorBand(lo: Double, hi: Double,
+      cpus: Option[Int], sfNum: Option[Double])
+
+  private[graft] def readAnchorBand(
+      path: String = "tools/ANCHOR_BAND.json"): Option[AnchorBand] =
+    try {
+      val j = org.json4s.jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        "UTF-8"))
+      for { lo <- jnum(j \ "lo"); hi <- jnum(j \ "hi") } yield
+        AnchorBand(lo, hi, jnum(j \ "cpus").map(_.toInt), jnum(j \ "sf_num"))
+    } catch { case _: Exception => None }
+
+  /** One computed band verdict. `side` is above|below; the ratios are
+    * this run's per-query mins over the comparable-history band medians
+    * (only queries with >= [[SuspectMinHistory]] history mins and a
+    * median >= [[BandMinSec]] — thin evidence and timer noise never
+    * classify); `cls` is diffuse|concentrated|comparable. */
+  private[graft] final case class BandVerdict(side: String,
+      lo: Double, hi: Double, n: Int, medianRatio: Double,
+      fracUp: Double, fracDown: Double, maxRatio: Double,
+      minRatio: Double, cls: String)
+
+  /** The verdict for THIS run, None unless every gate holds: a band
+    * exists AND its (cpus, sf) cohort is the run's AND the run is
+    * adjudicated clean (a dirty run's covariates already explain the
+    * excursion) AND the headline is a real number outside [lo, hi]
+    * (the -1.0 failed sentinel never classifies) AND at least one
+    * query has band-grade history. The class bars mirror
+    * tools/bench_history.py `classify` exactly on the above side and
+    * its reciprocal on the below side: diffuse = most ratios moved
+    * past the bar in the excursion's direction with the median along;
+    * concentrated = a calm median but at least one plan past the
+    * [[BandConcentrated]] bar; comparable otherwise. */
+  private[graft] def bandVerdict(value: Double, noncmp: Option[Boolean],
+      band: Option[AnchorBand], cpus: Int, sfNum: Option[Double],
+      best: Map[String, Double],
+      bands: Map[String, Seq[Double]]): Option[BandVerdict] =
+    band.flatMap { b =>
+      val cohortOk = b.cpus.contains(cpus) &&
+        b.sfNum.exists(s => sfNum.contains(s))
+      val outside = java.lang.Double.isFinite(value) && value >= 0 &&
+        (value < b.lo || value > b.hi)
+      if (!cohortOk || !noncmp.contains(false) || !outside) None
+      else {
+        val ratios = best.toSeq.flatMap { case (q, v) =>
+          bands.get(q).filter(_.size >= SuspectMinHistory).map(medianOf)
+            .filter(_ >= BandMinSec).map(v / _)
+        }
+        if (ratios.isEmpty) None
+        else {
+          val side = if (value > b.hi) "above" else "below"
+          val med = medianOf(ratios)
+          val fracUp = ratios.count(_ > BandElevated).toDouble / ratios.size
+          val fracDown =
+            ratios.count(_ < 1 / BandElevated).toDouble / ratios.size
+          val cls =
+            if (side == "above") {
+              if (fracUp >= BandDiffuseFrac && med > BandElevated) "diffuse"
+              else if (med <= BandElevated && ratios.max >= BandConcentrated)
+                "concentrated"
+              else "comparable"
+            } else {
+              if (fracDown >= BandDiffuseFrac && med < 1 / BandElevated)
+                "diffuse"
+              else if (med >= 1 / BandElevated &&
+                ratios.min <= 1 / BandConcentrated) "concentrated"
+              else "comparable"
+            }
+          Some(BandVerdict(side, b.lo, b.hi, ratios.size, med, fracUp,
+            fracDown, ratios.max, ratios.min, cls))
+        }
+      }
+    }
+
+  /** Ratios rounded to 4 decimals for the line — full precision is
+    * band-scan noise, not evidence. */
+  private def round4(d: Double): Double = math.rint(d * 10000) / 10000
+
+  /** `"band_verdict":{…}` or `"band_verdict":null` — side/class splice
+    * bare (fixed internal vocabularies), numbers via [[jsonNum]]. Rides
+    * with the verdict tail so a truncated capture keeps it. */
+  private[graft] def bandVerdictJson(v: Option[BandVerdict]): String =
+    v.map { b =>
+      s""""band_verdict":{"side":"${b.side}","band_lo":${jsonNum(b.lo)},""" +
+        s""""band_hi":${jsonNum(b.hi)},"n":${b.n},""" +
+        s""""median_ratio":${jsonNum(round4(b.medianRatio))},""" +
+        s""""frac_up":${jsonNum(round4(b.fracUp))},""" +
+        s""""frac_down":${jsonNum(round4(b.fracDown))},""" +
+        s""""max_ratio":${jsonNum(round4(b.maxRatio))},""" +
+        s""""min_ratio":${jsonNum(round4(b.minRatio))},""" +
+        s""""class":"${b.cls}"}"""
+    }.getOrElse(""""band_verdict":null""")
 
   /** The complete machine-readable twin of the stdout line, written to
     * BENCH_SUMMARY.json (overwritten per run, like BENCH_FULL.json).
@@ -553,20 +696,21 @@ object Bench {
     * the history) and keeps everything verdict-bearing, small enough to
     * never truncate: provenance (ts/sha/jvm_run), cohort
     * (mode/cpus/sf_num), headline (value/failed), the full suspect and
-    * prior-lead adjudication blocks, `last_clean` (populated exactly
-    * when the line carries it — run not adjudicated clean — else
-    * null), and the verdict tail. Shape pinned by BenchSuspectSpec. */
+    * prior-lead adjudication blocks, the band verdict, `last_clean`
+    * (populated exactly when the line carries it — run not
+    * reference-grade — else null), and the verdict tail. Shape pinned
+    * by BenchSuspectSpec. */
   private[graft] def summaryJson(ts: String, sha: String, jvmRun: Int,
       mode: String, cpus: Int, sfDir: String, total: Double,
       failedJson: String, suspectBlock: String, priorBlock: String,
-      noncmp: Option[Boolean], ref: Option[CleanRef],
-      stealD: Option[Long]): String =
+      bandBlock: String, refGrade: Boolean, noncmp: Option[Boolean],
+      ref: Option[CleanRef], stealD: Option[Long]): String =
     s"""{"ts":${jsonStr(ts)},"sha":${jsonStr(sha)},"jvm_run":$jvmRun,""" +
       s""""mode":"$mode","cpus":$cpus,""" +
       s""""sf_num":${sfNumber(sfDir).map(_.toString).getOrElse("null")},""" +
       s""""value":${jsonNum(total)},"failed":$failedJson,""" +
-      s"""$suspectBlock,$priorBlock,""" +
-      s""""last_clean":${lastCleanValue(noncmp, ref).getOrElse("null")},""" +
+      s"""$suspectBlock,$priorBlock,$bandBlock,""" +
+      s""""last_clean":${lastCleanValue(refGrade, ref).getOrElse("null")},""" +
       s"""${verdictFields(stealD, noncmp)}}"""
 
   /** Best-effort numeric scale factor parsed from the testdata dir name
@@ -869,7 +1013,12 @@ object Bench {
     val suspectBlock = suspectJson(suspect, best.toMap, rerun, rerunStealD)
     val priorBlock = priorSuspectJson(priorLeads, prior.map(p => (p.ts, p.sha)),
       !appendedComparable, best.toMap, priorVerdicts)
-    val line = s"""{${lineHead(mode, cpus, sfDir, covStart, covEnd)},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total,$suspectBlock,$priorBlock,${lastCleanField(noncmp, lastClean)}${verdictFields(stealD, noncmp)}}"""
+    // Clean-but-out-of-band self-classification (the --compare math,
+    // run at emit time against the same bands the suspect check used).
+    val bandBlock = bandVerdictJson(bandVerdict(total, noncmp,
+      readAnchorBand(), cpus, sfNumber(sfDir), best.toMap, bands))
+    val refGrade = referenceGrade(noncmp, failed, suspect.keySet)
+    val line = s"""{${lineHead(mode, cpus, sfDir, covStart, covEnd)},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total,$suspectBlock,$priorBlock,$bandBlock,${lastCleanField(refGrade, lastClean)}${verdictFields(stealD, noncmp)}}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(line) finally w.close()
@@ -883,8 +1032,8 @@ object Bench {
     try {
       val w = new java.io.PrintWriter("BENCH_SUMMARY.json")
       try w.println(summaryJson(ts, sha, jvmRun, mode, cpus, sfDir, total,
-        namesJson(failed), suspectBlock, priorBlock, noncmp, lastClean,
-        stealD))
+        namesJson(failed), suspectBlock, priorBlock, bandBlock, refGrade,
+        noncmp, lastClean, stealD))
       finally w.close()
     } catch { case _: Exception => () }
     // Cross-round adjudication needs more than one run's raw samples,

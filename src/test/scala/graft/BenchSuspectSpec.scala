@@ -427,28 +427,43 @@ class BenchSuspectSpec extends AnyFunSuite {
     assert(Bench.jsonNum(1.5) === "1.5" && Bench.jsonNum(Double.NaN) === "null")
   }
 
-  test("last_clean: dirty lines carry the reference-grade line; clean don't") {
+  test("last_clean: non-reference-grade lines carry the reference; reference-grade don't") {
     val p = Bench.CleanRef("2026-08-15T01:00:00Z", "c" * 40, Some(2), 52.45)
-    // dirty run (noncomparable:true): the line that says "don't trust
-    // me" also names the trusted number (the r18 74.16 s storm capture
-    // needed a manual BENCH_HISTORY read to find 52.45 s on the same
-    // sha), with jvm_run so a warm repeat is never mistaken for cold
+    // a run that is not reference-grade: the line whose headline should
+    // not be trusted also names the trusted number (the r18 74.16 s
+    // storm capture needed a manual BENCH_HISTORY read to find 52.45 s
+    // on the same sha), with jvm_run so a warm repeat is never mistaken
+    // for cold
     val dirty = JsonMethods.parse(
-      "{" + Bench.lastCleanField(Some(true), Some(p)).stripSuffix(",") + "}")
+      "{" + Bench.lastCleanField(refGrade = false, Some(p)).stripSuffix(",") + "}")
     assert(dirty \ "last_clean" \ "value" === JDouble(52.45))
     assert(dirty \ "last_clean" \ "ts" === JString("2026-08-15T01:00:00Z"))
     assert(dirty \ "last_clean" \ "sha" === JString("c" * 40))
     assert(dirty \ "last_clean" \ "jvm_run" === JInt(2))
-    // unknown covariates are not clean either
-    assert(Bench.lastCleanField(None, Some(p)).nonEmpty)
-    // no reference-grade history: null, never absent on a dirty line
-    assert(Bench.lastCleanField(Some(true), None) === """"last_clean":null,""")
-    // clean run: the line IS the reference — field omitted entirely
-    assert(Bench.lastCleanField(Some(false), Some(p)) === "")
+    // no reference-grade history: null, never absent on a distrusted line
+    assert(Bench.lastCleanField(refGrade = false, None) === """"last_clean":null,""")
+    // reference-grade run: the line IS the reference — field omitted
+    assert(Bench.lastCleanField(refGrade = true, Some(p)) === "")
     // pre-jvm_run vintage reference: jvm_run null, not a crash
     val noRun = Bench.CleanRef("t", "s", None, 50.0)
     assert(JsonMethods.parse(Bench.lastCleanInner(Some(noRun)))
       \ "jvm_run" === JNull)
+  }
+
+  test("referenceGrade: the emit gate mirrors the CleanRef read rule (r19 ADVICE)") {
+    // Round 19 gated on comparability alone; a comparable run with
+    // failed queries (value -1.0 sentinel) or open suspects then wrote
+    // the same null a genuinely clean run writes. The gate now matches
+    // cleanRefOfJson: comparable AND failed-free AND suspect-free.
+    assert(Bench.referenceGrade(Some(false), Set.empty, Set.empty))
+    // dirty or unknown covariates: never reference-grade
+    assert(!Bench.referenceGrade(Some(true), Set.empty, Set.empty))
+    assert(!Bench.referenceGrade(None, Set.empty, Set.empty))
+    // comparable but a query failed: the -1.0 headline must not read as
+    // "this run is the reference" — the line carries last_clean instead
+    assert(!Bench.referenceGrade(Some(false), Set("q99"), Set.empty))
+    // comparable but a suspect: the spiked min is in the headline sum
+    assert(!Bench.referenceGrade(Some(false), Set.empty, Set("d57_containment")))
   }
 
   test("last_clean: only a reference-grade line qualifies as the trusted number") {
@@ -488,7 +503,8 @@ class BenchSuspectSpec extends AnyFunSuite {
     // new — the trusted clean reference in the same parseable artifact
     val j = JsonMethods.parse(Bench.summaryJson("2026-08-15T04:00:00Z",
       "f" * 40, 1, "both", 32, "/root/testdata/sf0.1", 74.16, "[]",
-      sus, pri, Some(true), Some(p), Some(2411L)))
+      sus, pri, """"band_verdict":null""", refGrade = false, Some(true),
+      Some(p), Some(2411L)))
     assert(j \ "ts" === JString("2026-08-15T04:00:00Z"))
     assert(j \ "sha" === JString("f" * 40))
     assert(j \ "jvm_run" === JInt(1))
@@ -501,16 +517,151 @@ class BenchSuspectSpec extends AnyFunSuite {
     assert(j \ "suspect_detail" \ "d57_containment" \ "min" === JDouble(12.46))
     assert(j \ "prior_suspect" === JObject(Nil))
     assert(j \ "prior_suspect_src" === JNull)
+    assert(j \ "band_verdict" === JNull)
     assert(j \ "last_clean" \ "value" === JDouble(52.45))
     assert(j \ "steal_delta" === JInt(2411))
     assert(j \ "noncomparable" === JBool(true))
-    // clean run: last_clean null (the run itself is the reference)
+    // reference-grade run: last_clean null (the run itself is the
+    // reference); a computed band verdict splices through verbatim
+    val bv = Bench.bandVerdictJson(Some(Bench.BandVerdict("above", 51, 56,
+      52, 1.13, 0.92, 0.0, 1.4, 0.98, "diffuse")))
     val clean = JsonMethods.parse(Bench.summaryJson("t", "s", 2, "both", 32,
-      "/root/testdata/sf0.1", 52.45, "[]", sus, pri, Some(false), Some(p),
-      Some(10L)))
+      "/root/testdata/sf0.1", 52.45, "[]", sus, pri, bv, refGrade = true,
+      Some(false), Some(p), Some(10L)))
     assert(clean \ "last_clean" === JNull)
     assert(clean \ "jvm_run" === JInt(2))
     assert(clean \ "noncomparable" === JBool(false))
+    assert(clean \ "band_verdict" \ "class" === JString("diffuse"))
+    // comparable but failed/suspect (r19 ADVICE): the summary's
+    // last_clean is POPULATED — null no longer doubles as both "this
+    // run is the reference" and "the reference couldn't be named"
+    val failedRun = JsonMethods.parse(Bench.summaryJson("t", "s", 1, "both",
+      32, "/root/testdata/sf0.1", -1.0, """["q99"]""", sus, pri,
+      """"band_verdict":null""",
+      refGrade = Bench.referenceGrade(Some(false), Set("q99"), Set.empty),
+      Some(false), Some(p), Some(10L)))
+    assert(failedRun \ "last_clean" \ "value" === JDouble(52.45))
+    assert(failedRun \ "noncomparable" === JBool(false))
+  }
+
+  // ── Round 20: band verdict (clean-but-out-of-band self-classification) ──
+
+  private def band(lo: Double = 51, hi: Double = 56): Option[Bench.AnchorBand] =
+    Some(Bench.AnchorBand(lo, hi, Some(32), Some(0.1)))
+
+  /** A 10-query band map (medians 2.0 s, thick history) plus this run's
+    * mins scaled per query — the knobs the class bars read. */
+  private def bandsOf(n: Int = 10): Map[String, Seq[Double]] =
+    (1 to n).map(i => f"q$i%02d" -> Seq.fill(6)(2.0)).toMap
+
+  test("bandVerdict: the 2026-08-14 shape — above the band, diffuse") {
+    // 92% of queries elevated ~1.13x, headline 59.36 over hi 56: the
+    // --compare DIFFUSE verdict, now computed on the line itself
+    val best = (1 to 9).map(i => f"q$i%02d" -> 2.26).toMap + ("q10" -> 2.0)
+    val Some(v) = Bench.bandVerdict(59.36, Some(false), band(), 32,
+      Some(0.1), best, bandsOf())
+    assert(v.side === "above" && v.cls === "diffuse")
+    assert(v.n === 10 && v.fracUp === 0.9 && v.medianRatio === 1.13)
+  }
+
+  test("bandVerdict: one hot plan over a calm median — concentrated") {
+    val best = (1 to 9).map(i => f"q$i%02d" -> 2.0).toMap + ("q10" -> 5.0)
+    val Some(v) = Bench.bandVerdict(59.0, Some(false), band(), 32,
+      Some(0.1), best, bandsOf())
+    assert(v.side === "above" && v.cls === "concentrated")
+    assert(v.maxRatio === 2.5 && v.medianRatio === 1.0)
+  }
+
+  test("bandVerdict: the r19 49.14 s fast-side shape — below the band, diffuse") {
+    // every query uniformly ~0.9x its band median: the host re-based
+    // faster — the re-anchor signal, classified on the line
+    val best = (1 to 10).map(i => f"q$i%02d" -> 1.8).toMap
+    val Some(v) = Bench.bandVerdict(49.14, Some(false), band(), 32,
+      Some(0.1), best, bandsOf())
+    assert(v.side === "below" && v.cls === "diffuse")
+    assert(v.fracDown === 1.0 && v.medianRatio === 0.9)
+  }
+
+  test("bandVerdict: one much-faster plan over a calm median — concentrated below") {
+    val best = (1 to 9).map(i => f"q$i%02d" -> 2.0).toMap + ("q10" -> 0.5)
+    val Some(v) = Bench.bandVerdict(50.0, Some(false), band(), 32,
+      Some(0.1), best, bandsOf())
+    assert(v.side === "below" && v.cls === "concentrated")
+    assert(v.minRatio === 0.25)
+  }
+
+  test("bandVerdict: per-query evidence not backing the excursion — comparable") {
+    // headline outside but ratios all ~1: sum noise, neither verdict
+    val best = (1 to 10).map(i => f"q$i%02d" -> 2.02).toMap
+    val Some(v) = Bench.bandVerdict(56.5, Some(false), band(), 32,
+      Some(0.1), best, bandsOf())
+    assert(v.cls === "comparable")
+  }
+
+  test("bandVerdict: every gate — in-band, dirty, foreign cohort, failed, thin") {
+    val best = (1 to 10).map(i => f"q$i%02d" -> 2.26).toMap
+    val all = bandsOf()
+    // in-band headline: nothing to classify
+    assert(Bench.bandVerdict(52.0, Some(false), band(), 32, Some(0.1), best, all).isEmpty)
+    // exactly at the edges: inside, inclusive
+    assert(Bench.bandVerdict(51.0, Some(false), band(), 32, Some(0.1), best, all).isEmpty)
+    assert(Bench.bandVerdict(56.0, Some(false), band(), 32, Some(0.1), best, all).isEmpty)
+    // dirty/unknown run: the covariates already explain the excursion
+    assert(Bench.bandVerdict(59.0, Some(true), band(), 32, Some(0.1), best, all).isEmpty)
+    assert(Bench.bandVerdict(59.0, None, band(), 32, Some(0.1), best, all).isEmpty)
+    // no band file / foreign (cpus, sf) cohort: the band judges ONE cohort
+    assert(Bench.bandVerdict(59.0, Some(false), None, 32, Some(0.1), best, all).isEmpty)
+    assert(Bench.bandVerdict(59.0, Some(false), band(), 8, Some(0.1), best, all).isEmpty)
+    assert(Bench.bandVerdict(59.0, Some(false), band(), 32, Some(0.001), best, all).isEmpty)
+    assert(Bench.bandVerdict(59.0, Some(false), band(), 32, None, best, all).isEmpty)
+    // the -1.0 failed sentinel is "below the band" arithmetically but
+    // must never classify
+    assert(Bench.bandVerdict(-1.0, Some(false), band(), 32, Some(0.1), best, all).isEmpty)
+    // thin history (< SuspectMinHistory) and sub-floor medians never
+    // classify: no qualifying ratios -> null
+    val thin = (1 to 10).map(i => f"q$i%02d" -> Seq(2.0, 2.0)).toMap
+    val tiny = (1 to 10).map(i => f"q$i%02d" -> Seq.fill(6)(0.01)).toMap
+    assert(Bench.bandVerdict(59.0, Some(false), band(), 32, Some(0.1), best, thin).isEmpty)
+    assert(Bench.bandVerdict(59.0, Some(false), band(), 32, Some(0.1), best, tiny).isEmpty)
+  }
+
+  test("readAnchorBand: the real file shape parses; garbage is None, never fatal") {
+    val good = tmpFile(
+      """{"lo":51,"hi":56,"anchored":"2026-08-15","sha":"abc","n":5,""" +
+        """"cpus":32,"sf_num":0.1,"values":[54.3],"source":"x"}""")
+    assert(Bench.readAnchorBand(good)
+      === Some(Bench.AnchorBand(51.0, 56.0, Some(32), Some(0.1))))
+    // lo/hi must be finite numbers; cpus/sf_num may be absent (older
+    // band vintages) — the cohort gate then refuses to match
+    assert(Bench.readAnchorBand(tmpFile("""{"lo":51}""")).isEmpty)
+    assert(Bench.readAnchorBand(tmpFile("""{"lo":"51","hi":56}""")).isEmpty)
+    assert(Bench.readAnchorBand(tmpFile("""{"lo":1e999,"hi":56}""")).isEmpty)
+    assert(Bench.readAnchorBand(tmpFile("""{"lo":51,"hi":56}"""))
+      === Some(Bench.AnchorBand(51.0, 56.0, None, None)))
+    assert(Bench.readAnchorBand(tmpFile("not json")).isEmpty)
+    assert(Bench.readAnchorBand("/no/such/band.json").isEmpty)
+  }
+
+  test("bandVerdictJson: parseable both populated and null; non-finite guarded") {
+    val j = JsonMethods.parse("{" + Bench.bandVerdictJson(Some(
+      Bench.BandVerdict("below", 51, 56, 52, 0.9013, 0.02, 0.85,
+        1.02, 0.25, "diffuse"))) + "}")
+    val b = j \ "band_verdict"
+    assert(b \ "side" === JString("below"))
+    assert(b \ "band_lo" === JDouble(51.0) && b \ "band_hi" === JDouble(56.0))
+    assert(b \ "n" === JInt(52))
+    assert(b \ "median_ratio" === JDouble(0.9013))
+    assert(b \ "frac_up" === JDouble(0.02) && b \ "frac_down" === JDouble(0.85))
+    assert(b \ "max_ratio" === JDouble(1.02) && b \ "min_ratio" === JDouble(0.25))
+    assert(b \ "class" === JString("diffuse"))
+    assert(Bench.bandVerdictJson(None) === """"band_verdict":null""")
+    // a non-finite ratio (can only arise from a mangled band) emits
+    // null, never the JSON-invalid Infinity token
+    val nan = JsonMethods.parse("{" + Bench.bandVerdictJson(Some(
+      Bench.BandVerdict("above", 51, 56, 1, Double.NaN, 0, 0,
+        Double.PositiveInfinity, 1.0, "comparable"))) + "}")
+    assert(nan \ "band_verdict" \ "median_ratio" === JNull)
+    assert(nan \ "band_verdict" \ "max_ratio" === JNull)
   }
 
   test("scan-cost canary: a 200-line, 74-query history scans in trivial time") {

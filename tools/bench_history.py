@@ -298,20 +298,32 @@ def summary(runs):
             # round-19: `origin` names the line where the lead's evidence
             # was MEASURED (survives carry-forward hops verbatim) — the
             # bisect target; src names the adjacent line this run
-            # adjudicated. Pre-origin vintage entries fall back to src.
-            origin = det.get("origin") or src
-            print("    prior lead {} (measured {} @{}, via {} @{}): "
+            # adjudicated. Pre-origin vintage entries have no origin and
+            # the emitter deliberately never backfills one (for a deep
+            # carry chain the src is a later CARRIER, not the measuring
+            # line) — render the src fallback as the guess it is, never
+            # under the measured-here label.
+            origin = det.get("origin")
+            measured = ("measured {} @{}".format(
+                origin.get("ts", "-")[:19], str(origin.get("sha", "-"))[:8])
+                if isinstance(origin, dict) else
+                "measured ~{} @{} (origin unknown, src fallback)".format(
+                    src.get("ts", "-")[:19], str(src.get("sha", "-"))[:8]))
+            print("    prior lead {} ({}, via {} @{}): "
                   "min {} rerun {} -> this run {} — {}{}".format(
-                q, origin.get("ts", "-")[:19], str(origin.get("sha", "-"))[:8],
+                q, measured,
                 src.get("ts", "-")[:19], str(src.get("sha", "-"))[:8],
                 fmt(det.get("prior_min"), "{:.2f}"),
                 fmt(det.get("prior_rerun"), "{:.2f}"),
                 fmt(det.get("min"), "{:.2f}"), verdict,
                 " (fresh jvm)" if src.get("fresh_jvm") is True
                 else " (same jvm)" if src.get("fresh_jvm") is False else ""))
-        # round-19: a dirty line now names its own trusted reference —
-        # the most recent comparable line's headline — so triage never
-        # has to walk the file for it
+        # round-19 (gate widened round 20): a line whose own headline is
+        # not reference-grade — dirty/unknown covariates, a failed
+        # query, or an open suspect — names its own trusted reference:
+        # the most recent reference-grade (comparable AND
+        # failed/suspect-free) line's headline, often an older line than
+        # the last merely-comparable one. Triage never walks the file.
         lc = d.get("last_clean")
         if isinstance(lc, dict):
             run = lc.get("jvm_run")
@@ -322,6 +334,21 @@ def summary(runs):
                 # point as a cold fresh run
                 " [warm jvm_run {}]".format(run)
                 if isinstance(run, int) and run > 1 else ""))
+        # round-20: a CLEAN line whose headline lands outside the anchor
+        # band classifies itself (the --compare math run at emit time
+        # against the per-query history bands): diffuse = every query
+        # moved together (environmental; below the band, the re-anchor
+        # signal), concentrated = a few specific plans moved (suspect
+        # them), comparable = per-query evidence doesn't back the
+        # headline excursion
+        bv = d.get("band_verdict")
+        if isinstance(bv, dict):
+            print("    band verdict: {} band [{}, {}] — {} "
+                  "(median {}x, frac_up {}, frac_down {}, n={})".format(
+                bv.get("side", "?"), bv.get("band_lo", "?"),
+                bv.get("band_hi", "?"), str(bv.get("class", "?")).upper(),
+                fmt(bv.get("median_ratio")), fmt(bv.get("frac_up")),
+                fmt(bv.get("frac_down")), bv.get("n", "?")))
 
 
 def one_query(runs, q):
@@ -660,7 +687,21 @@ def selftest():
               "prior_suspect": {}, "prior_suspect_src": None,
               "last_clean": {"value": 52.45, "ts": "2026-08-15T02:30:00Z",
                              "sha": "b" * 40, "jvm_run": 2},
-              "steal_delta": 2411, "noncomparable": True}])
+              "steal_delta": 2411, "noncomparable": True},
+             # round-20 clean-but-out-of-band shape: the line carries its
+             # own --compare verdict (here the r19 49.14 s fast-side case
+             # classified diffuse-below — the re-anchor signal)
+             {"ts": "2026-08-15T09:03:00Z", "sha": "e" * 40, "jvm_run": 1,
+              "cpus": 32, "sf_num": 0.1, "mode": "both", "value": 49.14,
+              "queries": {"q01": 0.9}, "failed": [],
+              "suspect": [], "suspect_detail": {},
+              "prior_suspect": {}, "prior_suspect_src": None,
+              "band_verdict": {"side": "below", "band_lo": 51,
+                               "band_hi": 56, "n": 52,
+                               "median_ratio": 0.9, "frac_up": 0.02,
+                               "frac_down": 0.85, "max_ratio": 1.02,
+                               "min_ratio": 0.25, "class": "diffuse"},
+              "steal_delta": 59, "noncomparable": False}])
     print("selftest OK")
 
 
