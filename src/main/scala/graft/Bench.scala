@@ -562,19 +562,24 @@ object Bench {
 
   // ── Band verdict: clean-but-out-of-band headlines classify themselves ──
   // The documented anchor band (tools/ANCHOR_BAND.json) is the normal
-  // range for the canonical cohort's headline. Twice a CLEAN line landed
-  // outside it and a human had to run `bench_history.py --compare` to
-  // learn what kind of excursion it was: 2026-08-14's 59.36 s @ Δ393
-  // above the hi (--compare said DIFFUSE — shared-resource contention,
-  // steal-invisible), and round 19's 49.14 s @ Δ59 below the lo (the
-  // fast-side re-base question). The per-query band medians are already
-  // in hand at emit time — the same single history scan that feeds
-  // [[suspectsOf]] — so the line now computes the --compare math itself
-  // and carries the verdict: DIFFUSE (most queries moved together —
-  // environmental, or the host re-based; on the fast side, a re-anchor
-  // signal), CONCENTRATED (a few specific plans moved — suspect a plan
-  // change), or comparable (the per-query evidence does not back the
-  // headline excursion).
+  // range for the canonical cohort's headline. When a CLEAN line lands
+  // outside it, a human previously had to run `bench_history.py
+  // --compare --band <band sha> <ts>` to learn what kind of excursion
+  // it was (round 19's 59.36 s @ Δ393: DIFFUSE — shared-resource
+  // contention, steal-invisible). The run now computes the same math at
+  // emit time and carries the verdict itself: DIFFUSE (most queries
+  // moved together — environmental, or the host re-based; on the fast
+  // side, a re-anchor signal), CONCENTRATED (a few specific plans moved
+  // — suspect a plan change), or comparable (the per-query evidence
+  // does not back the headline excursion). Fidelity note, verified on
+  // the round-19 record: the base MUST be the per-query MINIMA across
+  // comparable lines at the band's anchoring sha — exactly --compare
+  // --band's cohort floor. A first cut used the all-history band
+  // MEDIANS already in hand from the suspect scan; medians are
+  // weather-inclusive, which compresses every ratio (the real 59.36 s
+  // line read median 1.20x/84% elevated vs the band-sha minima but
+  // only 1.05x/50% vs medians) and under-classified the exact case
+  // the field exists for.
 
   /** Classification bars — keep in sync with tools/bench_history.py's
     * COMPARE_* constants (each side's selftest pins its own copy; the
@@ -583,7 +588,7 @@ object Bench {
   private[graft] val BandElevated = 1.05
   private[graft] val BandDiffuseFrac = 0.7
   private[graft] val BandConcentrated = 1.5
-  /** Band medians under this are timer noise — same 50 ms floor as the
+  /** Base mins under this are timer noise — same 50 ms floor as the
     * tool's COMPARE_MIN_SEC base-run exclusion. */
   private[graft] val BandMinSec = 0.05
 
@@ -591,26 +596,61 @@ object Bench {
     * (written by `tools/anchor_bench.sh --reanchor`, carries
     * provenance). lo/hi must be finite numbers; cpus/sf_num identify
     * the one cohort the band judges — a verdict is only computed when
-    * they match the run's. None on a missing/garbled file: the bench
-    * must never fail because the band does not exist yet. */
+    * they match the run's — and sha names the anchoring commit whose
+    * comparable lines are the --compare base cohort. None on a
+    * missing/garbled file: the bench must never fail because the band
+    * does not exist yet. */
   private[graft] final case class AnchorBand(lo: Double, hi: Double,
-      cpus: Option[Int], sfNum: Option[Double])
+      cpus: Option[Int], sfNum: Option[Double], sha: Option[String])
 
   private[graft] def readAnchorBand(
       path: String = "tools/ANCHOR_BAND.json"): Option[AnchorBand] =
     try {
+      import org.json4s._
       val j = org.json4s.jackson.JsonMethods.parse(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         "UTF-8"))
+      val sha = (j \ "sha") match {
+        case JString(s) if s.nonEmpty => Some(s)
+        case _                        => None
+      }
       for { lo <- jnum(j \ "lo"); hi <- jnum(j \ "hi") } yield
-        AnchorBand(lo, hi, jnum(j \ "cpus").map(_.toInt), jnum(j \ "sf_num"))
+        AnchorBand(lo, hi, jnum(j \ "cpus").map(_.toInt),
+          jnum(j \ "sf_num"), sha)
     } catch { case _: Exception => None }
 
+  /** Per-query minima across the comparable cohort lines at the band's
+    * anchoring sha — `--compare --band`'s base cohort ("the honest
+    * 'this code has run this fast' base", tool docstring). A focused
+    * second pass over the history file, taken ONLY on the rare
+    * clean-and-outside-band path (the scan-cost canary pins a full
+    * pass at ~100 ms; an extra one on an exceptional run is noise).
+    * Empty on a missing file or a sha with no comparable lines. */
+  private[graft] def bandShaMins(path: String, sha: String, cpus: Int,
+      sfNum: Option[Double], headlineOrdered: Boolean): Map[String, Double] =
+    try {
+      import org.json4s._
+      val src = scala.io.Source.fromFile(path)
+      try {
+        val acc = scala.collection.mutable.Map.empty[String, Double]
+        for (line <- src.getLines();
+             j <- parseComparable(line, cpus, sfNum, headlineOrdered)) {
+          val shaOk = (j \ "sha") match {
+            case JString(s) => sha.nonEmpty && s.startsWith(sha)
+            case _          => false
+          }
+          if (shaOk)
+            for ((q, m) <- minsOfJson(j))
+              acc(q) = math.min(m, acc.getOrElse(q, Double.MaxValue))
+        }
+        acc.toMap
+      } finally src.close()
+    } catch { case _: Exception => Map.empty }
+
   /** One computed band verdict. `side` is above|below; the ratios are
-    * this run's per-query mins over the comparable-history band medians
-    * (only queries with >= [[SuspectMinHistory]] history mins and a
-    * median >= [[BandMinSec]] — thin evidence and timer noise never
-    * classify); `cls` is diffuse|concentrated|comparable. */
+    * this run's per-query mins over the band-sha cohort minima (base
+    * mins under [[BandMinSec]] are excluded as timer noise);
+    * `cls` is diffuse|concentrated|comparable. */
   private[graft] final case class BandVerdict(side: String,
       lo: Double, hi: Double, n: Int, medianRatio: Double,
       fracUp: Double, fracDown: Double, maxRatio: Double,
@@ -620,17 +660,20 @@ object Bench {
     * exists AND its (cpus, sf) cohort is the run's AND the run is
     * adjudicated clean (a dirty run's covariates already explain the
     * excursion) AND the headline is a real number outside [lo, hi]
-    * (the -1.0 failed sentinel never classifies) AND at least one
-    * query has band-grade history. The class bars mirror
-    * tools/bench_history.py `classify` exactly on the above side and
-    * its reciprocal on the below side: diffuse = most ratios moved
-    * past the bar in the excursion's direction with the median along;
+    * (the -1.0 failed sentinel never classifies) AND the band-sha base
+    * cohort is non-empty. `baseMins` is by-name so the focused history
+    * pass only happens once the cheap gates have passed. The class
+    * bars mirror tools/bench_history.py `classify` exactly on the
+    * above side and its reciprocal on the below side: diffuse = most
+    * ratios past the bar in the excursion's direction with the median
+    * along (vs the cohort FLOOR, so below-side diffuse means faster
+    * than the anchor cohort ever ran — the strong re-base signal);
     * concentrated = a calm median but at least one plan past the
     * [[BandConcentrated]] bar; comparable otherwise. */
   private[graft] def bandVerdict(value: Double, noncmp: Option[Boolean],
       band: Option[AnchorBand], cpus: Int, sfNum: Option[Double],
       best: Map[String, Double],
-      bands: Map[String, Seq[Double]]): Option[BandVerdict] =
+      baseMins: => Map[String, Double]): Option[BandVerdict] =
     band.flatMap { b =>
       val cohortOk = b.cpus.contains(cpus) &&
         b.sfNum.exists(s => sfNum.contains(s))
@@ -638,9 +681,9 @@ object Bench {
         (value < b.lo || value > b.hi)
       if (!cohortOk || !noncmp.contains(false) || !outside) None
       else {
+        val base = baseMins
         val ratios = best.toSeq.flatMap { case (q, v) =>
-          bands.get(q).filter(_.size >= SuspectMinHistory).map(medianOf)
-            .filter(_ >= BandMinSec).map(v / _)
+          base.get(q).filter(_ >= BandMinSec).map(v / _)
         }
         if (ratios.isEmpty) None
         else {
@@ -1013,10 +1056,16 @@ object Bench {
     val suspectBlock = suspectJson(suspect, best.toMap, rerun, rerunStealD)
     val priorBlock = priorSuspectJson(priorLeads, prior.map(p => (p.ts, p.sha)),
       !appendedComparable, best.toMap, priorVerdicts)
-    // Clean-but-out-of-band self-classification (the --compare math,
-    // run at emit time against the same bands the suspect check used).
+    // Clean-but-out-of-band self-classification (the --compare --band
+    // math, run at emit time). The base cohort — per-query minima at
+    // the band's anchoring sha — is a lazy second history pass taken
+    // only when the cheap gates (clean, outside, cohort match) pass.
+    val anchorBand = readAnchorBand()
     val bandBlock = bandVerdictJson(bandVerdict(total, noncmp,
-      readAnchorBand(), cpus, sfNumber(sfDir), best.toMap, bands))
+      anchorBand, cpus, sfNumber(sfDir), best.toMap,
+      anchorBand.flatMap(_.sha).map(s =>
+        bandShaMins("BENCH_HISTORY.jsonl", s, cpus, sfNumber(sfDir),
+          headlineOrdered)).getOrElse(Map.empty)))
     val refGrade = referenceGrade(noncmp, failed, suspect.keySet)
     val line = s"""{${lineHead(mode, cpus, sfDir, covStart, covEnd)},"samples":${samplesJson(headlineSamples)},"unordered":$unorderedJson,"unordered_unstripped":${namesJson(unstripped.toSet -- failed)},"unordered_failed":${namesJson(unorderedFailed)},"queries":$qs,"failed":${namesJson(failed)},"value":$total,$suspectBlock,$priorBlock,$bandBlock,${lastCleanField(refGrade, lastClean)}${verdictFields(stealD, noncmp)}}"""
     try {

@@ -547,16 +547,17 @@ class BenchSuspectSpec extends AnyFunSuite {
   // ── Round 20: band verdict (clean-but-out-of-band self-classification) ──
 
   private def band(lo: Double = 51, hi: Double = 56): Option[Bench.AnchorBand] =
-    Some(Bench.AnchorBand(lo, hi, Some(32), Some(0.1)))
+    Some(Bench.AnchorBand(lo, hi, Some(32), Some(0.1), Some("b" * 40)))
 
-  /** A 10-query band map (medians 2.0 s, thick history) plus this run's
-    * mins scaled per query — the knobs the class bars read. */
-  private def bandsOf(n: Int = 10): Map[String, Seq[Double]] =
-    (1 to n).map(i => f"q$i%02d" -> Seq.fill(6)(2.0)).toMap
+  /** A 10-query base cohort (band-sha minima, 2.0 s each) — this run's
+    * mins scaled per query are the knobs the class bars read. */
+  private def bandsOf(n: Int = 10): Map[String, Double] =
+    (1 to n).map(i => f"q$i%02d" -> 2.0).toMap
 
-  test("bandVerdict: the 2026-08-14 shape — above the band, diffuse") {
-    // 92% of queries elevated ~1.13x, headline 59.36 over hi 56: the
-    // --compare DIFFUSE verdict, now computed on the line itself
+  test("bandVerdict: the r19 59.36s shape — above the band, diffuse") {
+    // 90% of queries elevated ~1.13x vs the band-sha floor, headline
+    // 59.36 over hi 56: the --compare --band DIFFUSE verdict (the real
+    // line read median 1.20x, 84% elevated), computed on the line
     val best = (1 to 9).map(i => f"q$i%02d" -> 2.26).toMap + ("q10" -> 2.0)
     val Some(v) = Bench.bandVerdict(59.36, Some(false), band(), 32,
       Some(0.1), best, bandsOf())
@@ -572,9 +573,11 @@ class BenchSuspectSpec extends AnyFunSuite {
     assert(v.maxRatio === 2.5 && v.medianRatio === 1.0)
   }
 
-  test("bandVerdict: the r19 49.14 s fast-side shape — below the band, diffuse") {
-    // every query uniformly ~0.9x its band median: the host re-based
-    // faster — the re-anchor signal, classified on the line
+  test("bandVerdict: below the band, diffuse — the re-anchor signal") {
+    // every query uniformly ~0.9x the band-sha FLOOR (faster than the
+    // anchor cohort ever ran): the host re-based — classified on the
+    // line. (Round 19's "49.14s fast-side line" turned out to be an
+    // sf0.001 smoke — a foreign cohort this verdict's gates exclude.)
     val best = (1 to 10).map(i => f"q$i%02d" -> 1.8).toMap
     val Some(v) = Bench.bandVerdict(49.14, Some(false), band(), 32,
       Some(0.1), best, bandsOf())
@@ -617,12 +620,35 @@ class BenchSuspectSpec extends AnyFunSuite {
     // the -1.0 failed sentinel is "below the band" arithmetically but
     // must never classify
     assert(Bench.bandVerdict(-1.0, Some(false), band(), 32, Some(0.1), best, all).isEmpty)
-    // thin history (< SuspectMinHistory) and sub-floor medians never
-    // classify: no qualifying ratios -> null
-    val thin = (1 to 10).map(i => f"q$i%02d" -> Seq(2.0, 2.0)).toMap
-    val tiny = (1 to 10).map(i => f"q$i%02d" -> Seq.fill(6)(0.01)).toMap
-    assert(Bench.bandVerdict(59.0, Some(false), band(), 32, Some(0.1), best, thin).isEmpty)
+    // sub-floor base mins are timer noise and an empty base cohort
+    // (sha-less band / no comparable lines at the sha) never
+    // classifies: no qualifying ratios -> null
+    val tiny = (1 to 10).map(i => f"q$i%02d" -> 0.01).toMap
     assert(Bench.bandVerdict(59.0, Some(false), band(), 32, Some(0.1), best, tiny).isEmpty)
+    assert(Bench.bandVerdict(59.0, Some(false), band(), 32, Some(0.1), best, Map.empty).isEmpty)
+    // the base pass is lazy: an in-band run must never pay for it
+    var scanned = false
+    def lazyBase: Map[String, Double] = { scanned = true; all }
+    assert(Bench.bandVerdict(52.0, Some(false), band(), 32, Some(0.1), best, lazyBase).isEmpty)
+    assert(!scanned, "in-band run must not evaluate the base cohort")
+  }
+
+  test("bandShaMins: cohort minima at ONE sha; foreign shas and dirty lines excluded") {
+    // syntheticLine stamps sha b*40; leadLine stamps c*40 by default —
+    // the base cohort is the band sha's lines only, min across them
+    val f = tmpFile(Seq(
+      syntheticLine(4.0),                      // b-sha, d57 4.0 / q01 1.0
+      syntheticLine(3.8),                      // b-sha, d57 3.8 / q01 1.0
+      syntheticLine(2.0, clean = false),       // b-sha but DIRTY: excluded
+      leadLine(1.0, flagged = false)           // c-sha: foreign, excluded
+    ).mkString("", "\n", "\n"))
+    val base = Bench.bandShaMins(f, "b" * 40, 32, Some(0.1), headlineOrdered = true)
+    assert(base === Map("d57_containment" -> 3.8, "q01" -> 1.0))
+    // prefix match (band files store the full sha; accept a prefix)
+    assert(Bench.bandShaMins(f, "b" * 8, 32, Some(0.1), true)("d57_containment") === 3.8)
+    // empty sha never matches everything; missing file is empty, not fatal
+    assert(Bench.bandShaMins(f, "", 32, Some(0.1), true).isEmpty)
+    assert(Bench.bandShaMins("/no/such.jsonl", "b" * 40, 32, Some(0.1), true).isEmpty)
   }
 
   test("readAnchorBand: the real file shape parses; garbage is None, never fatal") {
@@ -630,14 +656,14 @@ class BenchSuspectSpec extends AnyFunSuite {
       """{"lo":51,"hi":56,"anchored":"2026-08-15","sha":"abc","n":5,""" +
         """"cpus":32,"sf_num":0.1,"values":[54.3],"source":"x"}""")
     assert(Bench.readAnchorBand(good)
-      === Some(Bench.AnchorBand(51.0, 56.0, Some(32), Some(0.1))))
-    // lo/hi must be finite numbers; cpus/sf_num may be absent (older
-    // band vintages) — the cohort gate then refuses to match
+      === Some(Bench.AnchorBand(51.0, 56.0, Some(32), Some(0.1), Some("abc"))))
+    // lo/hi must be finite numbers; cpus/sf_num/sha may be absent
+    // (older band vintages) — the cohort gate / base pass then refuse
     assert(Bench.readAnchorBand(tmpFile("""{"lo":51}""")).isEmpty)
     assert(Bench.readAnchorBand(tmpFile("""{"lo":"51","hi":56}""")).isEmpty)
     assert(Bench.readAnchorBand(tmpFile("""{"lo":1e999,"hi":56}""")).isEmpty)
     assert(Bench.readAnchorBand(tmpFile("""{"lo":51,"hi":56}"""))
-      === Some(Bench.AnchorBand(51.0, 56.0, None, None)))
+      === Some(Bench.AnchorBand(51.0, 56.0, None, None, None)))
     assert(Bench.readAnchorBand(tmpFile("not json")).isEmpty)
     assert(Bench.readAnchorBand("/no/such/band.json").isEmpty)
   }
