@@ -85,6 +85,15 @@ median <=1.05 = concentrated) are calibrated on that session plus the
 round-14 record; queries under 50ms in the BASE run are excluded as
 timer noise.
 
+Since round 20 a CLEAN line whose headline lands outside the
+documented anchor band carries a `band_verdict` object — the same
+--compare --band math (per-query ratios vs the cohort minima of the
+comparable lines at the band's anchoring sha) run by the bench at
+emit time, with class diffuse/concentrated/comparable and the
+below-band side mirroring the bars (diffuse-below = faster than the
+anchor cohort ever ran = the re-anchor signal). The summary view
+renders it; manual --compare remains for ad-hoc cohort choices.
+
 The base side accepts a COHORT, not just one run: `--compare TS1
 [TS2 ...] CAND` uses the per-query minimum across all listed base runs,
 and `--compare --band SHA CAND` builds the cohort from every comparable
