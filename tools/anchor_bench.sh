@@ -244,7 +244,7 @@ main() {
       case "$ok" in OK*)
         echo "DONE (strict: one attempt, both repeats <= $CLEAN_TICKS ticks)"
         case "$ok" in *OUT-OF-BAND*)
-          echo "CAUTION: strict anchor's WARM repeat is OUTSIDE the documented band — diffuse host degradation suspected; run tools/bench_history.py --compare --band <last-good-sha> <this-ts>, and if the host has genuinely re-based, tools/anchor_bench.sh --reanchor"
+          echo "CAUTION: strict anchor's WARM repeat is OUTSIDE the documented band — diffuse host degradation suspected; since round 20 the line itself carries the classification (band_verdict: diffuse = environmental/re-base, concentrated = suspect the plans), and tools/bench_history.py renders it — confirm there (or via --compare --band <band-sha> <this-ts> for an ad-hoc cohort), and if the host has genuinely re-based, tools/anchor_bench.sh --reanchor"
           # distinct success code: accepted, but automation keying off
           # the exit status must be able to tell a degraded-host anchor
           # from a normal one (3 = anchored-out-of-band)
