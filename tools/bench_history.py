@@ -249,19 +249,38 @@ def band_header():
                   b["lo"], b["hi"], b.get("anchored", "?"),
                   str(b.get("sha", "?"))[:8], b.get("cpus", "?"),
                   b.get("sf_num", "?")))
+        print("markers: ! = non-comparable (covariates); ~ = line's "
+              "(cpus, sf) differ from the band's — NEVER read its value "
+              "against the band (round 20: an sf0.001 smoke line was "
+              "misread as a below-band canonical run)")
+    return b
+
+
+def off_band_cohort(d, band):
+    """'~' when the line's (cpus, sf) is not the band's cohort — its
+    value must never be read against the band, whatever it looks like
+    (the round-20 misread: a ~49 s sf0.001 smoke line taken for a
+    below-band canonical run)."""
+    if not band:
+        return ""
+    want = (band.get("cpus"), band.get("sf_num"))
+    if not all(isinstance(v, (int, float)) and not isinstance(v, bool)
+               for v in want):
+        return ""
+    return "~" if covariates(d) != (int(want[0]), want[1]) else ""
 
 
 def summary(runs):
-    band_header()
+    band = band_header()
     hdr = ("ts", "sha", "run", "cpus", "sf", "mode", "value_s", "fail",
-           "load1m_s", "load1m_e", "steal_d", "!")
+           "load1m_s", "load1m_e", "steal_d", "!~")
     print(("{:<20} {:<8} {:>3} {:>4} {:>6} {:<9} {:>8} {:>4} "
-           "{:>8} {:>8} {:>7} {:<1}").format(*hdr))
+           "{:>8} {:>8} {:>7} {:<2}").format(*hdr))
     for d in runs:
         l0, _ = cov(d, "load_start")
         l1, _ = cov(d, "load_end")
         print(("{:<20} {:<8} {:>3} {:>4} {:>6} {:<9} {:>8} {:>4} "
-               "{:>8} {:>8} {:>7} {:<1}").format(
+               "{:>8} {:>8} {:>7} {:<2}").format(
             d.get("ts", "-")[:19],
             d.get("sha", "-")[:8],
             str(d.get("jvm_run", "-")),
@@ -271,7 +290,7 @@ def summary(runs):
             fmt(d.get("value"), "{:.1f}"),
             len(d.get("failed", [])),
             fmt(l0), fmt(l1), fmt(steal_delta(d), "{:d}"),
-            non_comparable(d)))
+            non_comparable(d) + off_band_cohort(d, band)))
         # round-18 per-query self-adjudication: surface the line's own
         # suspect verdict (band-breaching queries + their clean-covariate
         # re-run samples) so triage reads it without opening the JSON
@@ -660,6 +679,20 @@ def selftest():
         pass
     # band_info: a missing/garbled band file is None, never a crash
     assert band_info(path="/nonexistent/band.json") is None
+    # off-band-cohort marker: a line whose (cpus, sf) differ from the
+    # band's prints '~' — the round-20 misread guard (an sf0.001 smoke
+    # line read as a below-band canonical run). String cpus still
+    # match; a cpus-less line can't be confirmed on-cohort; no/garbled
+    # band means no marker (nothing to be off of)
+    bnd = {"cpus": 32, "sf_num": 0.1}
+    assert off_band_cohort({"cpus": 32, "sf_num": 0.1}, bnd) == ""
+    assert off_band_cohort({"cpus": "32", "sf_num": 0.1}, bnd) == ""
+    assert off_band_cohort({"cpus": 32, "sf_num": 0.001}, bnd) == "~"
+    assert off_band_cohort({"cpus": 8, "sf_num": 0.1}, bnd) == "~"
+    assert off_band_cohort({"sf_num": 0.1}, bnd) == "~"
+    assert off_band_cohort({"cpus": 32, "sf_num": 0.1}, None) == ""
+    assert off_band_cohort({"cpus": 32, "sf_num": 0.1},
+                           {"cpus": "x", "sf_num": 0.1}) == ""
     # suspect rule: the r15 shape (6.4 vs ~3.86 band) flags, in-band and
     # floor-guarded values don't, thin history never does — mirrors
     # BenchSuspectSpec's pins so the two copies can't drift silently
