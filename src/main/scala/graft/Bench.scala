@@ -311,9 +311,20 @@ object Bench {
     * sample is recorded beside it, not merged). Comparability alone is
     * a covariate verdict and says nothing about either. jvmRun rides
     * along so a reader never mistakes a warm repeat for a cold fresh
-    * invocation (None on a pre-jvm_run vintage line). */
+    * invocation (None on a pre-jvm_run vintage line). `inBand` (round
+    * 20) discloses where the reference sits relative to the documented
+    * anchor band: Some(true) = inside [lo, hi]; Some(false) = a
+    * reference-grade line that is itself outside the band (e.g. a
+    * diffusely-elevated evening where every clean line ran high — the
+    * 2026-08-15 session produced a clean suspect-free 58.41 s line
+    * above hi 56); None = no applicable band (missing file or foreign
+    * (cpus, sf) cohort). The scan PREFERS the most recent in-band
+    * reference when one exists, falling back to the most recent
+    * reference-grade line of any position — so a stale band (host
+    * re-based past it) degrades to the round-19 behavior instead of
+    * leaving the reference null. */
   private[graft] final case class CleanRef(ts: String, sha: String,
-      jvmRun: Option[Int], value: Double)
+      jvmRun: Option[Int], value: Double, inBand: Option[Boolean] = None)
 
   /** The [[CleanRef]] of ONE already-accepted (cohort-comparable) line,
     * None when its own headline is not reference-grade (failed queries,
@@ -427,26 +438,41 @@ object Bench {
     * reference-grade line (see [[CleanRef]] — comparable AND
     * failed/suspect-free, the `last_clean` target; the lead line and
     * the reference line are often different lines, because an open
-    * lead is precisely a headline not to trust). The full lead parse
-    * runs once, on the last comparable line only — per-line work is the
-    * band mins plus the cheap reference check. Missing/unreadable file
-    * → empty band map and no leads/reference, never fatal. */
+    * lead is precisely a headline not to trust). With an applicable
+    * anchor `band` (same (cpus, sf) cohort), the most recent IN-BAND
+    * reference-grade line is preferred over a more recent out-of-band
+    * one — a clean suspect-free line from a diffusely-elevated stretch
+    * is a valid measurement but a worse baseline — and every returned
+    * reference discloses its band position (`inBand`). The full lead
+    * parse runs once, on the last comparable line only — per-line work
+    * is the band mins plus the cheap reference check.
+    * Missing/unreadable file → empty band map and no leads/reference,
+    * never fatal. */
   private[graft] def scanHistory(path: String, cpus: Int,
-      sfNum: Option[Double], headlineOrdered: Boolean)
+      sfNum: Option[Double], headlineOrdered: Boolean,
+      band: Option[AnchorBand] = None)
       : (Map[String, Seq[Double]], Option[PriorLine], Option[CleanRef]) =
     try {
+      val applicable = band.filter(b =>
+        b.cpus.contains(cpus) && b.sfNum.exists(s => sfNum.contains(s)))
       val src = scala.io.Source.fromFile(path)
       try {
         val acc = scala.collection.mutable.Map.empty[String, List[Double]]
         var lastJ: Option[org.json4s.JValue] = None
-        var lastClean: Option[CleanRef] = None
+        var lastAny: Option[CleanRef] = None
+        var lastIn: Option[CleanRef] = None
         for (line <- src.getLines();
              j <- parseComparable(line, cpus, sfNum, headlineOrdered)) {
           for ((q, m) <- minsOfJson(j)) acc(q) = m :: acc.getOrElse(q, Nil)
           lastJ = Some(j)
-          cleanRefOfJson(j).foreach(r => lastClean = Some(r))
+          cleanRefOfJson(j).foreach { r =>
+            val tagged = r.copy(inBand =
+              applicable.map(b => b.lo <= r.value && r.value <= b.hi))
+            lastAny = Some(tagged)
+            if (tagged.inBand.contains(true)) lastIn = Some(tagged)
+          }
         }
-        (acc.toMap, lastJ.map(leadsOfJson), lastClean)
+        (acc.toMap, lastJ.map(leadsOfJson), lastIn.orElse(lastAny))
       } finally src.close()
     } catch { case _: Exception => (Map.empty, None, None) }
 
@@ -508,16 +534,21 @@ object Bench {
     s""""prior_suspect":$body,"prior_suspect_src":$srcJson"""
   }
 
-  /** The most recent reference-grade history line (see [[CleanRef]])
-    * as `{"value":…,"ts":…,"sha":…,"jvm_run":…}`, `null` when none
-    * exists — the trusted number a reader of a dirty line needs.
-    * jvm_run discloses warm-repeat provenance: a warm repeat and a
-    * cold fresh run are different reference points. */
+  /** The chosen reference-grade history line (see [[CleanRef]]) as
+    * `{"value":…,"ts":…,"sha":…,"jvm_run":…,"in_band":…}`, `null` when
+    * none exists — the trusted number a reader of a distrusted line
+    * needs. jvm_run discloses warm-repeat provenance (a warm repeat
+    * and a cold fresh run are different reference points); in_band
+    * discloses the reference's own position against the anchor band
+    * (false = best available baseline is itself out of band — e.g.
+    * every clean line of a diffusely-elevated stretch; null = no
+    * applicable band). */
   private[graft] def lastCleanInner(ref: Option[CleanRef]): String =
     ref.map(r =>
       s"""{"value":${jsonNum(r.value)},""" +
         s""""ts":${jsonStr(r.ts)},"sha":${jsonStr(r.sha)},""" +
-        s""""jvm_run":${r.jvmRun.map(_.toString).getOrElse("null")}}""").getOrElse("null")
+        s""""jvm_run":${r.jvmRun.map(_.toString).getOrElse("null")},""" +
+        s""""in_band":${r.inBand.map(_.toString).getOrElse("null")}}""").getOrElse("null")
 
   /** Whether THIS run's own headline is reference-grade — the emit gate
     * for `last_clean`, the same rule [[cleanRefOfJson]] applies when
@@ -992,9 +1023,13 @@ object Bench {
     // carries the settling sample. The re-runs are bracketed by their
     // own steal delta (rerun_steal_delta) so THEY are adjudicable too.
     // one pass serves the bands, the prior-lead read, and the
-    // last_clean reference below
+    // last_clean reference below; the anchor band (also used by the
+    // band verdict further down) steers the reference toward the most
+    // recent IN-BAND reference-grade line
+    val anchorBand = readAnchorBand()
     val (bands, lastLeads, lastClean) =
-      scanHistory("BENCH_HISTORY.jsonl", cpus, sfNumber(sfDir), headlineOrdered)
+      scanHistory("BENCH_HISTORY.jsonl", cpus, sfNumber(sfDir),
+        headlineOrdered, anchorBand)
     val suspect = suspectsOf(best.toMap, bands)
     val rerun: Map[String, Double] =
       if (suspect.isEmpty || !noncmp.contains(false)) Map.empty
@@ -1060,7 +1095,6 @@ object Bench {
     // math, run at emit time). The base cohort — per-query minima at
     // the band's anchoring sha — is a lazy second history pass taken
     // only when the cheap gates (clean, outside, cohort match) pass.
-    val anchorBand = readAnchorBand()
     val bandBlock = bandVerdictJson(bandVerdict(total, noncmp,
       anchorBand, cpus, sfNumber(sfDir), best.toMap,
       anchorBand.flatMap(_.sha).map(s =>

@@ -668,6 +668,44 @@ class BenchSuspectSpec extends AnyFunSuite {
     assert(Bench.readAnchorBand("/no/such/band.json").isEmpty)
   }
 
+  test("last_clean prefers the most recent IN-BAND reference and discloses position") {
+    // Two reference-grade lines: an older in-band one (value 5.0) and a
+    // newer out-of-band one (value 9.0 — e.g. a clean suspect-free line
+    // from a diffusely-elevated stretch, like the real 58.41 s line of
+    // 2026-08-15 against [51, 56]). The reference must be the older
+    // in-band line, tagged in_band:true — a valid measurement of a
+    // degraded host is a worse baseline than a normal-period line.
+    val f = tmpFile(Seq(syntheticLine(4.0), syntheticLine(8.0))
+      .mkString("", "\n", "\n"))
+    val narrow = Some(Bench.AnchorBand(4, 6, Some(32), Some(0.1), None))
+    val (_, _, ref) = Bench.scanHistory(f, 32, Some(0.1), true, narrow)
+    assert(ref.exists(r => r.value === 5.0 && r.inBand === Some(true)))
+    // no band / foreign-cohort band: round-19 behavior — most recent
+    // reference-grade line, position undisclosed (null)
+    val (_, _, noBand) = Bench.scanHistory(f, 32, Some(0.1), true)
+    assert(noBand.exists(r => r.value === 9.0 && r.inBand === None))
+    val foreign = Some(Bench.AnchorBand(4, 6, Some(8), Some(0.1), None))
+    val (_, _, offCohort) = Bench.scanHistory(f, 32, Some(0.1), true, foreign)
+    assert(offCohort.exists(r => r.value === 9.0 && r.inBand === None))
+    // every reference-grade line out of band (stale band / degraded
+    // stretch): fall back to the most recent one, honestly tagged
+    // in_band:false — never null, which would read as "no reference"
+    val low = Some(Bench.AnchorBand(1, 2, Some(32), Some(0.1), None))
+    val (_, _, allOut) = Bench.scanHistory(f, 32, Some(0.1), true, low)
+    assert(allOut.exists(r => r.value === 9.0 && r.inBand === Some(false)))
+    // serialization: in_band rides in the last_clean object
+    import org.json4s.jackson.JsonMethods
+    assert(JsonMethods.parse(Bench.lastCleanInner(
+      Some(Bench.CleanRef("t", "s", Some(1), 5.0, Some(true)))))
+      \ "in_band" === JBool(true))
+    assert(JsonMethods.parse(Bench.lastCleanInner(
+      Some(Bench.CleanRef("t", "s", Some(1), 9.0, Some(false)))))
+      \ "in_band" === JBool(false))
+    assert(JsonMethods.parse(Bench.lastCleanInner(
+      Some(Bench.CleanRef("t", "s", Some(1), 9.0, None))))
+      \ "in_band" === JNull)
+  }
+
   test("bandVerdictJson: parseable both populated and null; non-finite guarded") {
     val j = JsonMethods.parse("{" + Bench.bandVerdictJson(Some(
       Bench.BandVerdict("below", 51, 56, 52, 0.9013, 0.02, 0.85,

@@ -355,13 +355,19 @@ def summary(runs):
         lc = d.get("last_clean")
         if isinstance(lc, dict):
             run = lc.get("jvm_run")
-            print("    last clean: {} @ {} ({}){}".format(
+            print("    last clean: {} @ {} ({}){}{}".format(
                 fmt(lc.get("value"), "{:.2f}"),
                 str(lc.get("sha", "-"))[:8], lc.get("ts", "-")[:19],
                 # warm repeats are disclosed: not the same reference
                 # point as a cold fresh run
                 " [warm jvm_run {}]".format(run)
-                if isinstance(run, int) and run > 1 else ""))
+                if isinstance(run, int) and run > 1 else "",
+                # round-20: the reference's own band position — false
+                # means the best available baseline is itself out of
+                # band (every clean line of a degraded stretch); the
+                # emitter prefers in-band references when they exist
+                " [OUT-OF-BAND reference]"
+                if lc.get("in_band") is False else ""))
         # round-20: a CLEAN line whose headline lands outside the anchor
         # band classifies itself (the --compare math run at emit time
         # against the per-query history bands): diffuse = every query
@@ -728,8 +734,20 @@ def selftest():
                                          "n": 70, "rerun": None}},
               "prior_suspect": {}, "prior_suspect_src": None,
               "last_clean": {"value": 52.45, "ts": "2026-08-15T02:30:00Z",
-                             "sha": "b" * 40, "jvm_run": 2},
+                             "sha": "b" * 40, "jvm_run": 2,
+                             "in_band": True},
               "steal_delta": 2411, "noncomparable": True},
+             # round-20 degraded-stretch shape: the best available
+             # reference is itself out of band and says so
+             {"ts": "2026-08-15T17:39:00Z", "sha": "d" * 40, "jvm_run": 1,
+              "cpus": 32, "sf_num": 0.1, "mode": "both", "value": 61.3,
+              "queries": {"q01": 1.0}, "failed": [],
+              "suspect": [], "suspect_detail": {},
+              "prior_suspect": {}, "prior_suspect_src": None,
+              "last_clean": {"value": 58.41, "ts": "2026-08-15T17:14:00Z",
+                             "sha": "d" * 40, "jvm_run": 2,
+                             "in_band": False},
+              "steal_delta": 682, "noncomparable": True},
              # round-20 clean-but-out-of-band shape: the line carries its
              # own --compare verdict (here the r19 49.14 s fast-side case
              # classified diffuse-below — the re-anchor signal)
