@@ -907,10 +907,13 @@ object Bench {
     val mode = sys.env.getOrElse("GRAFT_BENCH_MODE", "both")
     require(Set("ordered", "unordered", "both")(mode),
       s"GRAFT_BENCH_MODE must be ordered|unordered|both, got '$mode'")
-    val spark = SparkSession.builder()
+    // EngineConf.tuned: engine-level perf settings (adaptive-coalescing
+    // floor) — changes stage widths only, never what a query computes or
+    // how it is timed; see EngineConf's scaladoc for the scale analysis.
+    val spark = EngineConf.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: touch every table (parquet footers into page cache) and

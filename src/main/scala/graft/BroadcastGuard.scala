@@ -53,9 +53,12 @@ object BroadcastGuard {
     "s64_ann_ivf" ->
       "probed side = 20-query set x per-label centroids (one row per label; label cardinality is fixed)",
     "s65_ann_ivf_multiprobe" ->
-      "probed side = 20-query set x per-label centroids (one row per label; label cardinality is fixed)",
-    "d56_benchmark_contamination" ->
-      "benchmark gram set: eval corpora are fixed-size by definition, only the TRAINING side grows")
+      "probed side = 20-query set x per-label centroids (one row per label; label cardinality is fixed)")
+    // d56's entry was retired in r21: its bench-gram side now derives
+    // from a pinned (localCheckpoint'd) frame, whose cut lineage this
+    // guard cannot trace to the corpus scan — so the hint was REMOVED
+    // (AQE's runtime size check broadcasts the fixed-size bench set by
+    // itself) rather than left allowlisted but unauditable.
 
   /** Offending broadcast hints in `df`'s optimized plan: one description
     * per broadcast-strategy join hint whose hinted side reads a

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{documents, embeddings}
+import graft.Tables.{documents, embeddings, pin, spread}
 import graft.expressions.{Md5Prefix60, MinHashSig, QCosine, SortedOverlap}
 import graft.functions.Similarity._
 
@@ -96,12 +96,63 @@ object DedupQueries {
                                        rowsPerBand: Int = 2): DataFrame =
     blockedCandidatesWithIds(docs, extraBlockCols, rowsPerBand)._1
 
-  /** Per-doc blocking cells: one row per (doc, band) carrying the full
-    * composed key (bucket, band_id, bkey, extras). Exposed so DedupSpec
-    * can assert the occupancy bound directly on the cell frame. */
-  private[graft] def blockingCells(docs: DataFrame,
-                                   extraBlockCols: Seq[String],
-                                   rowsPerBand: Int = 2): DataFrame = {
+  /** One-pass per-doc signature frame for the bigram family:
+    * `(doc_id, bucket, sh, sig, extras…)` — `sh` is the sorted distinct
+    * 60-bit hashed shingle set (the verify-stage input) and `sig` the K
+    * minhashes over the SAME hashes' top 32 bits, so the corpus-wide
+    * split+shingle+md5 work happens exactly once per doc (one md5 per
+    * shingle serves both pipelines — bit-identical to hashing twice, as
+    * the DuckDB oracle does).
+    *
+    * Lazily pinned ([[Tables.pin]], r21): the frame has 3–8 consumers
+    * (cells for the candidate self-join, the occupancy aggregate, the
+    * id restriction, both verify attaches), and per-branch filter/column
+    * pushdown makes their exchange subtrees canonically DISTINCT, so
+    * ReuseExchange cannot unify them — the un-pinned optimized plan
+    * carried up to eight independent copies of the shingle+md5 subtree
+    * (~8x one pass's CPU, measured at sf0.1 once the scan was spread).
+    * Re-deriving per consumer was the right call while the starved scan
+    * ran the whole pipeline on one task (the round-1 cache experiment);
+    * spreading the scan flipped that trade-off.
+    *
+    * NULL-safe composed keys: metadata columns (lang, source) are
+    * nullable at real corpus scale, and plain equality drops every
+    * NULL-metadata doc from candidate generation (NULL = NULL is false
+    * in the self-join AND the hot-block semi join) — an invisible
+    * recall hole the null-free synthetic testdata can't catch. Coalesce
+    * each block col to a sentinel so NULL groups with NULL: two docs
+    * with unknown lang stay mutual candidates (blocking keys only gate
+    * candidates; the exact-Jaccard verify still decides the pair).
+    * "\u0000" can't collide with real metadata values.
+    */
+  private[graft] def bigramSignatures(docs: DataFrame,
+                                      extraBlockCols: Seq[String]): DataFrame = {
+    val pre = spread(docs, col("doc_id")).select(
+      col("doc_id") +: split(col("text"), " ").as("w") +:
+        extraBlockCols.map(c => coalesce(col(c).cast("string"), lit("\u0000")).as(c)): _*)
+      .filter(size(col("w")) >= 2)
+    // h60 is referenced by BOTH outputs, so CollapseProject keeps it in
+    // its own projection and the hashes are computed once per doc. No
+    // array_distinct before the sig: min over a multiset equals min
+    // over its support. The 32-bit fingerprint (top bits of the 60-bit
+    // md5 prefix) is the same derivation d51 uses, so the DuckDB twin
+    // replays it digit-for-digit. `size(w) div 8` == the oracle's
+    // `len(w) // 8` (w is the same split).
+    val hashed = pre.select(
+      col("doc_id") +: expr("size(w) div 8").as("bucket") +:
+        transform(shingles(col("w"), 2), x => Md5Prefix60(x)).as("h60") +:
+        extraBlockCols.map(col): _*)
+    pin(hashed.select(
+      col("doc_id") +: col("bucket") +:
+        array_sort(array_distinct(col("h60"))).as("sh") +:
+        MinHashSig(transform(col("h60"), h => shiftright(h, 28)), K, P).as("sig") +:
+        extraBlockCols.map(col): _*))
+  }
+
+  /** Blocking cells derived from a [[bigramSignatures]] frame (band
+    * explosion only — the expensive hashing already happened there). */
+  private def cellsOf(sigs: DataFrame, extraBlockCols: Seq[String],
+                      rowsPerBand: Int): DataFrame = {
     // The documented recall knob (SCALE.md): r rows per band over the
     // same K-signature gives K/r bands and s-curve
     // P(candidate) = 1-(1-j^r)^(K/r). The default 2x6 sits the curve's
@@ -113,43 +164,27 @@ object DedupQueries {
     // band list ((0 until K/r) with r < 0) — zero candidates, silently.
     require(rowsPerBand >= 1 && K % rowsPerBand == 0,
       s"rowsPerBand must be a positive divisor of K=$K, got $rowsPerBand")
-    // NULL-safe composed keys: metadata columns (lang, source) are
-    // nullable at real corpus scale, and plain equality drops every
-    // NULL-metadata doc from candidate generation (NULL = NULL is false
-    // in the self-join AND the hot-block semi join) — an invisible
-    // recall hole the null-free synthetic testdata can't catch. Coalesce
-    // each block col to a sentinel so NULL groups with NULL: two docs
-    // with unknown lang stay mutual candidates (blocking keys only gate
-    // candidates; the exact-Jaccard verify still decides the pair).
-    // "\u0000" can't collide with real metadata values.
-    val pre = docs.select(
-      col("doc_id") +: expr("size(split(text, ' ')) div 8").as("bucket") +:
-        split(col("text"), " ").as("w") +:
-        extraBlockCols.map(c => coalesce(col(c).cast("string"), lit("\u0000")).as(c)): _*)
-      .filter(size(col("w")) >= 2)
-    // All K minhash values in one fused codegen pass (MinHashSig) over
-    // the bigram-shingle fingerprints. No array_distinct before the sig:
-    // min over a multiset equals min over its support, and the verify
-    // stage computes its own distinct sorted sets. The 32-bit fingerprint
-    // (top bits of the 60-bit md5 prefix) is the same derivation d51
-    // uses, so the DuckDB twin replays it digit-for-digit.
-    val sig = pre.select(
-      col("doc_id") +: col("bucket") +:
-        MinHashSig(transform(shingles(col("w"), 2),
-          x => shiftright(Md5Prefix60(x), 28)), K, P).as("sig") +:
-        extraBlockCols.map(col): _*)
     val bandCols = (0 until K / rowsPerBand).map { b =>
       struct(lit(b).as("band_id"),
              bandKey((0 until rowsPerBand).map(r =>
                col("sig")(rowsPerBand * b + r))).as("bkey"))
     }
-    sig.select(
+    sigs.select(
       col("doc_id") +: col("bucket") +: explode(array(bandCols: _*)).as("bd") +:
         extraBlockCols.map(col): _*)
       .select(
         col("doc_id") +: col("bucket") +: col("bd.band_id").as("band_id") +:
           col("bd.bkey").as("bkey") +: extraBlockCols.map(col): _*)
   }
+
+  /** Per-doc blocking cells: one row per (doc, band) carrying the full
+    * composed key (bucket, band_id, bkey, extras). Exposed so DedupSpec
+    * can assert the occupancy bound directly on the cell frame. */
+  private[graft] def blockingCells(docs: DataFrame,
+                                   extraBlockCols: Seq[String],
+                                   rowsPerBand: Int = 2): DataFrame =
+    cellsOf(bigramSignatures(docs, extraBlockCols), extraBlockCols, rowsPerBand)
+
 
   /** Candidate pairs plus the attachSets id superset: docs in
     * non-singleton cells (a doc alone in its cell can't be in a pair).
@@ -174,9 +209,15 @@ object DedupQueries {
     * boundedness, measured on the planted sf testdata in DedupSpec. */
   private[graft] def blockedCandidatesWithIds(
       docs: DataFrame, extraBlockCols: Seq[String],
-      rowsPerBand: Int = 2): (DataFrame, DataFrame) = {
+      rowsPerBand: Int = 2): (DataFrame, DataFrame) =
+    candIdsOf(blockingCells(docs, extraBlockCols, rowsPerBand), extraBlockCols)
+
+  /** [[blockedCandidatesWithIds]] over an existing cells frame, so a
+    * caller holding the pinned signature frame (bigramPairsOf) shares
+    * it instead of re-deriving the corpus pipeline. */
+  private def candIdsOf(cells: DataFrame,
+                        extraBlockCols: Seq[String]): (DataFrame, DataFrame) = {
     val keyCols = Seq("bucket", "band_id", "bkey") ++ extraBlockCols
-    val cells = blockingCells(docs, extraBlockCols, rowsPerBand)
     val sameCell = keyCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)
     val cand = cells.as("x").join(cells.as("y"),
         sameCell && col("x.doc_id") < col("y.doc_id"))
@@ -225,13 +266,12 @@ object DedupQueries {
   /** [[bigramPairs]] over an arbitrary docs frame (spec entry point). */
   private[graft] def bigramPairsOf(docs: DataFrame,
                                    extraBlockCols: Seq[String] = Nil): DataFrame = {
-    val arr = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"),
-        array_sort(array_distinct(transform(shingles(col("w"), 2),
-          x => Md5Prefix60(x)))).as("sh"))
-    val (cand, ids) = blockedCandidatesWithIds(docs, extraBlockCols)
+    // ONE pinned signature pass serves blocking cells, occupancy, and
+    // both verify attaches (see bigramSignatures); everything after it
+    // operates on the materialized (doc_id, bucket, sh, sig) rows.
+    val sigs = bigramSignatures(docs, extraBlockCols)
+    val arr = sigs.select(col("doc_id"), col("sh"))
+    val (cand, ids) = candIdsOf(cellsOf(sigs, extraBlockCols, 2), extraBlockCols)
     attachSets(cand, arr, ids)
       .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
       .filter(col("inter") > 0)
@@ -302,36 +342,31 @@ object DedupQueries {
     // bounded by docs x bands, never by shingle count. The 100 TB shape.
     QueryDef("d51_minhash_lsh",
       (s, dir) => {
-        val base = documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .repartition(col("doc_id")) // spread the narrow scan (see d53)
-          .filter(size(col("w")) >= 3)
-          .select(col("doc_id"), array_distinct(shingles(col("w"), 3)).as("shs"))
-        // ONE md5 per shingle serves both pipelines: the 60-bit prefix
-        // (15 hex digits) is the verify-set element, and its top 32 bits
-        // (h60 >> 28 == the 8-hex-digit prefix) is the minhash
-        // fingerprint — bit-identical to hashing twice, as the DuckDB
-        // oracle does. Deliberately NOT cached despite three consumers:
-        // ReuseExchange shares the repartition shuffle, and recomputing
-        // the post-shuffle projection inside whole-stage codegen measured
-        // ~40% faster than reading wide array rows back from block-
-        // manager cache (3.3s vs 4.7-5.3s at sf0.1 — same result as the
-        // round-1 persist experiment on d53).
-        val pre = base.select(col("doc_id"),
-          transform(col("shs"),
-            x => Md5Prefix60(x)).as("h60"))
+        // ONE pinned pass (r21, Tables.pin) produces both the verify set
+        // `sh` (sorted distinct 60-bit md5 prefixes) and the K-minhash
+        // signature over the SAME hashes' top 32 bits (h60 >> 28 == the
+        // 8-hex-digit prefix) — bit-identical to hashing twice, as the
+        // DuckDB oracle does. Previously the band/hot/attach branches
+        // re-derived this pipeline per consumer (right call on a 1-task
+        // starved scan — the round-1 cache experiment; wrong once the
+        // scan is spread 32-wide: filter/column pushdown makes the
+        // branches' exchanges canonically distinct, so ReuseExchange
+        // cannot unify them and the plan carried the subtree ~6x).
+        val sigs = pin(
+          spread(documents(s, dir), col("doc_id")) // adaptive: see Tables.spread
+            .select(col("doc_id"), split(col("text"), " ").as("w"))
+            .filter(size(col("w")) >= 3)
+            .select(col("doc_id"),
+              transform(array_distinct(shingles(col("w"), 3)),
+                x => Md5Prefix60(x)).as("h60"))
+            .select(col("doc_id"),
+              array_sort(array_distinct(col("h60"))).as("sh"),
+              MinHashSig(transform(col("h60"), h => shiftright(h, 28)), K, P)
+                .as("sig")))
         // Sorted + distinct hashed shingle sets: the verify step below
         // intersects them with the SortedOverlap merge-scan kernel.
-        val arr = pre.select(col("doc_id"),
-          array_sort(array_distinct(col("h60"))).as("sh"))
-        // All K minhash values (min over the universal-hash family
-        // a_i*h + b_i mod p, p prime > 2^32, products < 2^38 => exact in
-        // long on any engine) come from ONE fused codegen pass
-        // (MinHashSig) instead of K interpreted array_min(transform(...))
-        // passes. Same values, same s-curve, same oracle.
-        val sig = pre
-          .select(col("doc_id"),
-            MinHashSig(transform(col("h60"), h => shiftright(h, 28)), K, P).as("sig"))
+        val arr = sigs.select("doc_id", "sh")
+        val sig = sigs.select("doc_id", "sig")
         val bandCols = (0 until BANDS).map { b =>
           struct(lit(b).as("band_id"),
                  bandKey(Seq(col("sig")(2 * b), col("sig")(2 * b + 1))).as("bkey"))
@@ -387,8 +422,7 @@ object DedupQueries {
         // of that column (16x fewer md5 evaluations than hashing inside
         // each aggregate expression — aggregates don't share
         // subexpressions across update functions).
-        val tok = documents(s, dir)
-          .repartition(col("doc_id")) // spread before the token explosion
+        val tok = spread(documents(s, dir), col("doc_id")) // adaptive: see Tables.spread
           .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
           .select(col("doc_id"), md5(col("tok")).as("h"))
         val votes = (0 until 16).map(b => sum(simhashVoteFromHex(col("h"), b)).as(s"v$b"))
@@ -499,13 +533,17 @@ object DedupQueries {
     QueryDef("d57_containment",
       (s, dir) => {
         val MAXDF = 25
-        val base = documents(s, dir)
+        // Pinned (r21, Tables.pin): `arr` feeds the df aggregate, the
+        // posting join, and both verify attaches — un-pinned, each
+        // branch re-derived the full shingle+md5 pipeline (the dominant
+        // cost; two 1-task 4.7 s stages at sf0.1 before the scan was
+        // spread, ~4 parallel recomputes after).
+        val arr = pin(spread(documents(s, dir), col("doc_id")) // adaptive: see Tables.spread
           .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .repartition(col("doc_id"))
           .filter(size(col("w")) >= 2)
-        val arr = base.select(col("doc_id"),
-          array_sort(array_distinct(transform(shingles(col("w"), 2),
-            x => Md5Prefix60(x)))).as("sh"))
+          .select(col("doc_id"),
+            array_sort(array_distinct(transform(shingles(col("w"), 2),
+              x => Md5Prefix60(x)))).as("sh")))
         val ex = arr.select(col("doc_id"), explode(col("sh")).as("h"))
         val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") <= MAXDF)
@@ -573,7 +611,10 @@ object DedupQueries {
         // interpreted aggregate(zip_with(...)) per pair.
         // nrm > 0 on both sides: a zero-norm vector has no cosine, and
         // 0/0 diverges across engines (Spark NaN, DuckDB NULL)
-        val e = embeddings(s, dir)
+        // Adaptive spread (r21): the nested-loop pair join's parallelism
+        // is the STREAM side's partition count — on a 1-task scan the
+        // whole 2M-pair QCosine loop ran single-threaded.
+        val e = spread(embeddings(s, dir), col("vec_id"))
           .select(col("vec_id"), quantize(col("embedding")).as("q"))
           .filter(qdot(col("q"), col("q")) > 0)
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.Relational._
 import graft.Tables._
+import graft.Tables.spread
 
 /** The reference-surface relational suite (SURVEY.md §2) over the driver
   * star schema, every query with a DuckDB oracle.
@@ -38,7 +39,11 @@ object RelationalQueries {
     // ---- Aggregation: TPC-H Q1-shaped pricing summary (groupBy + many aggs;
     //      reference analytics layer per SURVEY.md §2.5/§7.1-5) ------------
     QueryDef("q01_pricing_summary",
-      (s, dir) => lineitem(s, dir)
+      // Adaptive spread (r21, Tables.spread): the decimal partial
+      // aggregation over every lineitem row ran inside the starved
+      // 1-task scan. Spread is the identity at cluster scale, where the
+      // scan itself is wide and partials stay map-side as documented.
+      (s, dir) => spread(lineitem(s, dir), col("l_orderkey"))
         .filter(expr("l_shipdate < TIMESTAMP_NTZ '1999-01-01 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -341,7 +346,7 @@ object RelationalQueries {
 
     // ---- Exact distinct counts ------------------------------------------
     QueryDef("q19_distinct_count",
-      (s, dir) => lineitem(s, dir)
+      (s, dir) => spread(lineitem(s, dir), col("l_orderkey")) // adaptive: see Tables.spread
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
              countDistinct(col("l_suppkey")).as("n_supps"),

@@ -90,6 +90,21 @@ object ConnectedComponents {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct().localCheckpoint(false)
     var curFp = fingerprint(cur)
+    // Right-size the edge frame for the loop (r21): each round is ~4
+    // shuffles plus a fingerprint job over the CHECKPOINTED partitions,
+    // so a near-dup edge set of a few hundred rows spread over dozens
+    // of partitions pays task scheduling, not compute, on every stage
+    // of every round. The fingerprint already counted the edges — use
+    // it: pack ~10k edges per partition, capped at the session's
+    // parallelism. coalesce() on the materialized frame is narrow (no
+    // shuffle); at 100 TB edge volume the computed width saturates the
+    // cluster and this is a no-op.
+    val para = edges0.sparkSession.sparkContext.defaultParallelism
+    val parts = math.max(1L, math.min(curFp._1 / 10000L + 1L, para.toLong)).toInt
+    // (no re-checkpoint: coalesce over materialized blocks is narrow,
+    // so re-reading it per round costs block-manager reads only)
+    if (curFp._1 > 0 && parts < cur.rdd.getNumPartitions)
+      cur = cur.coalesce(parts)
     var rounds = 0
     var converged = curFp._1 == 0
     while (!converged && rounds < maxIter) {
