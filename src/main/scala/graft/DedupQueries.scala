@@ -416,22 +416,22 @@ object DedupQueries {
         ${duckJaccardTail(0.8)}""")),
 
     // ---- d52: SimHash fingerprint (16-bit, md5-vote construction) --------
+    // Pure projection via the fused SimHash16 kernel (r21): the former
+    // explode + 16-vote-aggregate form shuffled every (doc_id, token)
+    // row ONLY to sum per-doc votes a row-local loop computes exactly —
+    // at 100 TB that is a corpus-wide shuffle for a per-row statistic.
+    // Zero shuffles now at any scale (the t47 pattern); votes and bit
+    // assembly are bit-identical (ArrayKernelsSpec pins the kernel
+    // against the declarative vote pipeline, and the DuckDB oracle is
+    // unchanged). filter(isNotNull) mirrors the old explode's
+    // null-text row drop.
     QueryDef("d52_simhash",
-      (s, dir) => {
-        // md5 projected ONCE per token; the 16 vote sums read hex digits
-        // of that column (16x fewer md5 evaluations than hashing inside
-        // each aggregate expression — aggregates don't share
-        // subexpressions across update functions).
-        val tok = spread(documents(s, dir), col("doc_id")) // adaptive: see Tables.spread
-          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-          .select(col("doc_id"), md5(col("tok")).as("h"))
-        val votes = (0 until 16).map(b => sum(simhashVoteFromHex(col("h"), b)).as(s"v$b"))
-        tok.groupBy("doc_id")
-          .agg(votes.head, votes.tail: _*)
-          .select(col("doc_id"),
-                  simhashFromVotes((0 until 16).map(b => col(s"v$b"))).as("simhash"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => spread(documents(s, dir), col("doc_id")) // adaptive: see Tables.spread
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.expressions.SimHash16(
+            array_distinct(split(col("text"), " "))).as("simhash"))
+        .orderBy("doc_id"),
       Some {
         val votes = (0 until 16).map { b =>
           s"SUM((strpos('0123456789abcdef', substr(md5(tok), ${b + 1}, 1)) - 1) % 2 * 2 - 1) AS v$b"

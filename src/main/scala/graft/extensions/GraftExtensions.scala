@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{MaxPairMultiplicity, MaxRun, Md5Prefix60, MinHashSig, QCosine, SortedOverlap}
+import graft.expressions.{MaxPairMultiplicity, MaxRun, Md5Prefix60, MinHashSig, QCosine, SimHash16, SortedOverlap}
 
 /** Session extensions: registers the engine's native expressions in the
   * SQL function registry, so `spark.sql("... qcosine(a, b) ...")` and the
@@ -84,6 +84,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"max_pair_multiplicity expects 1 argument, got ${children.length}")
         MaxPairMultiplicity(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"simhash16 expects 1 argument, got ${children.length}")
+        SimHash16(children(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),

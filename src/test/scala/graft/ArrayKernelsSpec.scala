@@ -121,6 +121,48 @@ class ArrayKernelsSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("SimHash16 equals the declarative 16-vote aggregate pipeline") {
+    // The d52 kernel vs its definition: per distinct token, vote ±1 per
+    // bit from the parity of hex digit b of md5(token); bit set iff the
+    // vote sum is positive. The declarative twin below is the exact
+    // pre-r21 d52 dataflow (explode + 16 sums + simhashFromVotes), so
+    // kernel equality here is oracle equality by transitivity. Mixed
+    // lengths, multibyte, repeated tokens (array_distinct on both
+    // sides), and the empty-string token.
+    import graft.expressions.SimHash16
+    import graft.functions.Similarity.{simhashFromVotes, simhashVoteFromHex}
+    val rows = (0 until 300).map { i =>
+      (i.toLong, (0 until 1 + i % 17)
+        .map(j => s"tok${(i * 31 + j * 7) % 23}${if (j % 5 == 0) "é∆" else ""}")
+        .mkString(" ") + (if (i % 11 == 0) " " else ""))
+    }
+    val df = rows.toDF("id", "text")
+    val got = df.select($"id",
+        SimHash16(array_distinct(split($"text", " "))).as("simhash"))
+      .orderBy("id").as[(Long, Long)].collect()
+    val tok = df.select($"id",
+        explode(array_distinct(split($"text", " "))).as("tok"))
+      .select($"id", md5($"tok").as("h"))
+    val votes = (0 until 16).map(b => sum(simhashVoteFromHex($"h", b)).as(s"v$b"))
+    val want = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select($"id", simhashFromVotes((0 until 16).map(b => col(s"v$b"))).as("simhash"))
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(got.toSeq === want.toSeq)
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val direct = SimHash16(Literal.create(Seq("a", "b"),
+      ArrayType(StringType, containsNull = false))).eval(null)
+    val viaDf = Seq(Tuple1(Seq("a", "b"))).toDF("w")
+      .select(SimHash16($"w")).as[Long].head()
+    assert(direct === viaDf)
+    // empty array and null element -> null
+    assert(Seq(Tuple1(Seq.empty[String])).toDF("w")
+      .select(SimHash16($"w")).collect().head.isNullAt(0))
+    assert(Seq(Tuple1(Seq[String]("x", null))).toDF("w")
+      .select(SimHash16($"w")).collect().head.isNullAt(0))
+  }
+
   test("Md5Prefix60 equals the conv(substring(md5(x),1,15),16,10) idiom") {
     // The dedup family's portable shingle hash, computed from digest
     // bytes instead of hex text. MUST be bit-identical — the DuckDB
