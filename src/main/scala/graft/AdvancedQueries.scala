@@ -455,7 +455,7 @@ object AdvancedQueries {
     // semantic Spark implements with a counting aggregate, not a dedup.
     QueryDef("q44_except_all",
       (s, dir) => {
-        val li = Tables.spread(lineitem(s, dir), col("l_orderkey")) // adaptive: see Tables.spread
+        val li = lineitem(s, dir)
         li.filter(col("l_quantity") >= 30).select("l_orderkey")
           .exceptAll(li.filter(col("l_returnflag") === "R").select("l_orderkey"))
           .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
@@ -508,7 +508,7 @@ object AdvancedQueries {
     // identically (character classes + quantifiers; no backrefs or
     // lookaround, which RE2 lacks anyway).
     QueryDef("t46_redact",
-      (s, dir) => Tables.spread(documents(s, dir), col("doc_id")) // adaptive: see Tables.spread
+      (s, dir) => documents(s, dir)
         .select(
           col("doc_id"),
           regexp_replace(col("text"), "[0-9]+", "<NUM>").as("clean_text"),

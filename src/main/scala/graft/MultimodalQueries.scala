@@ -14,14 +14,6 @@ import graft.operators.Multimodal._
   */
 object MultimodalQueries {
 
-  /** Documents with the adaptive scan spread (r21, [[Tables.spread]]):
-    * the stub decode kernels are md5-per-row CPU work stacked on the
-    * scan; a starved single-row-group scan runs them single-threaded.
-    * Identity at cluster scale. */
-  private def docsSpread(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.spread(documents(s, dir), col("doc_id"))
-
-
   // DuckDB twins of Multimodal.columnWidth/Height/Format/Frames
   private def duckByte(i: Int) = duckHexToLong(s"substr(md5(text), ${2 * i + 1}, 2)", 2)
   private val duckWidth  = s"${duckByte(0)} % 64 + 1"
@@ -33,7 +25,7 @@ object MultimodalQueries {
 
     // ---- m70: decode media headers -> typed metadata ---------------------
     QueryDef("m70_media_decode",
-      (s, dir) => docsSpread(s, dir)
+      (s, dir) => documents(s, dir)
         .select(col("doc_id"),
                 columnWidth(col("text")).as("width"),
                 columnHeight(col("text")).as("height"),
@@ -52,7 +44,7 @@ object MultimodalQueries {
     QueryDef("m71_media_resize",
       (s, dir) => {
         val (rw, rh) = resizeExprs(32)
-        docsSpread(s, dir)
+        documents(s, dir)
           .select(col("doc_id"),
                   columnWidth(col("text")).as("width"),
                   columnHeight(col("text")).as("height"))
@@ -72,7 +64,7 @@ object MultimodalQueries {
 
     // ---- m72: frame sampling (video stub): every 4th frame, exploded ----
     QueryDef("m72_frame_sample",
-      (s, dir) => docsSpread(s, dir)
+      (s, dir) => documents(s, dir)
         .select(col("doc_id"), columnFrames(col("text")).as("n_frames"))
         .select(col("doc_id"), col("n_frames"),
                 explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_idx"))
@@ -84,7 +76,7 @@ object MultimodalQueries {
 
     // ---- m73: media stats by format (metadata-driven planning) ----------
     QueryDef("m73_media_stats",
-      (s, dir) => docsSpread(s, dir)
+      (s, dir) => documents(s, dir)
         .select(columnFormat(col("text")).as("format"),
                 (columnWidth(col("text")) * columnHeight(col("text"))).as("px"))
         .groupBy("format")
@@ -111,7 +103,7 @@ object MultimodalQueries {
     QueryDef("m74_media_features",
       (s, dir) => {
         val feats = (4 until 12).map(i => columnFeature(col("text"), i))
-        docsSpread(s, dir)
+        documents(s, dir)
           .select(Seq(col("doc_id")) ++
             feats.zipWithIndex.map { case (f, i) => f.as(s"f$i") } :+
             feats.map(f => f * f).reduce(_ + _).as("f_norm"): _*)

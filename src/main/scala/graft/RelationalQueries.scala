@@ -346,7 +346,7 @@ object RelationalQueries {
 
     // ---- Exact distinct counts ------------------------------------------
     QueryDef("q19_distinct_count",
-      (s, dir) => spread(lineitem(s, dir), col("l_orderkey")) // adaptive: see Tables.spread
+      (s, dir) => lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
              countDistinct(col("l_suppkey")).as("n_supps"),

@@ -36,10 +36,7 @@ object SimilarityQueries {
     * nrm > 0 on BOTH sides keeps the oracle exact and the semantics
     * honest ("no direction, no neighbors"). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    // Adaptive spread (r21, Tables.spread): quantize + the per-pair
-    // cosine loops downstream otherwise run on the scan's task count —
-    // 1 on the single-row-group bench files. Identity at cluster scale.
-    Tables.spread(embeddings(s, dir), col("vec_id"))
+    embeddings(s, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
       .withColumn("nrm", qdot(col("q"), col("q")))
       .filter(col("nrm") > 0)

@@ -14,16 +14,6 @@ import graft.functions.TextAnalysis._
   */
 object TextQueries {
 
-  /** Documents with the adaptive scan spread (r21, [[Tables.spread]]):
-    * every operator here stacks CPU-dense per-row kernels (tokenizers,
-    * lexicon scans, md5, repetition kernels) directly on the scan, so a
-    * starved single-row-group scan runs them single-threaded; at
-    * cluster scale spread is the identity and these stay the zero-
-    * shuffle projections the scaladoc above promises. */
-  private def docsSpread(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.spread(documents(s, dir), col("doc_id"))
-
-
   /** DuckDB-side marker-count snippet, mirroring TextAnalysis.markerCount. */
   private def duckMarker(ms: Seq[String]): String =
     s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS BIGINT)"
@@ -44,7 +34,7 @@ object TextQueries {
 
     // ---- Token statistics (token counting: whitespace + BPE-ish) --------
     QueryDef("t40_token_stats",
-      (s, dir) => docsSpread(s, dir)
+      (s, dir) => documents(s, dir)
         .select(
           col("doc_id"),
           tokenCount(col("text")).as("n_tokens"),
@@ -66,7 +56,7 @@ object TextQueries {
 
     // ---- Language ID: marker-lexicon argmax ------------------------------
     QueryDef("t41_lang_id",
-      (s, dir) => docsSpread(s, dir)
+      (s, dir) => documents(s, dir)
         .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
       Some(s"""
@@ -85,7 +75,7 @@ object TextQueries {
 
     // ---- Language-ID agreement report (aggregated confusion) ------------
     QueryDef("t42_lang_agreement",
-      (s, dir) => docsSpread(s, dir)
+      (s, dir) => documents(s, dir)
         .select(col("lang"), langId(col("text")).as("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(count(lit(1)).as("n"))
@@ -107,7 +97,7 @@ object TextQueries {
 
     // ---- Quality scoring + keep/drop decision ----------------------------
     QueryDef("t43_quality_score",
-      (s, dir) => docsSpread(s, dir)
+      (s, dir) => documents(s, dir)
         .select(
           col("doc_id"),
           stopwordRatio(col("text")).as("stop_ratio"),
@@ -131,7 +121,7 @@ object TextQueries {
 
     // ---- Exact fingerprint + per-fingerprint keeper ----------------------
     QueryDef("t44_fingerprint",
-      (s, dir) => docsSpread(s, dir)
+      (s, dir) => documents(s, dir)
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper_doc_id"))
@@ -164,7 +154,7 @@ object TextQueries {
         // collision caveat (~1e-13/doc). n_bigrams = size(w) - 1.
         val w = split(col("text"), " ")
         val best = graft.expressions.MaxPairMultiplicity(w)
-        docsSpread(s, dir)
+        documents(s, dir)
           .filter(size(w) >= 2)
           .select(col("doc_id"),
             (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
