@@ -134,7 +134,15 @@ object Tables {
     */
   def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(keys: _*) else df
+    // Explicit width: an unnumbered repartition is re-coalesced by AQE's
+    // BYTE-based rule, and CPU density per byte is exactly what these
+    // call sites have that AQE can't see (a 1.5 MB text shuffle hiding
+    // seconds of md5 work). A user-specified partition count is exempt
+    // from coalescing, and it derives from the session's parallelism,
+    // never a constant. Everything NOT spread keeps stock AQE behavior —
+    // an earlier session-wide coalescing-floor override widened every
+    // cheap aggregate's post-shuffle stage too and measurably hurt them.
+    if (df.rdd.getNumPartitions < want) df.repartition(want, keys: _*) else df
   }
 
   /** Lazy within-query materialization of a multiply-consumed derived
