@@ -532,14 +532,18 @@ object AdvancedQueries {
       (s, dir) => {
         val tok = Tables.spread(documents(s, dir), col("doc_id")) // adaptive: see Tables.spread
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        // tf is pinned (r21, Tables.pin) and df DERIVED from it: a term's
-        // document frequency is exactly its row count in the (doc_id,
-        // term) tf aggregate, so the former second tokenize+explode pass
-        // and its (doc_id, term) DISTINCT exchange are gone — one corpus
-        // tokenization and one (doc_id, term) shuffle total, then the df
-        // aggregate runs over the (already tiny) per-doc term table.
-        val tf = Tables.pin(
-          tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+        // df DERIVED from tf (r21): a term's document frequency is
+        // exactly its row count in the (doc_id, term) tf aggregate, so
+        // the former second tokenize+explode pass and its (doc_id, term)
+        // DISTINCT exchange are gone. tf is deliberately NOT pinned:
+        // unlike the dedup signature frames it is corpus-sized (one row
+        // per (doc, distinct term) — ~400k rows at sf0.1), and
+        // materializing it through the block manager measured SLOWER
+        // than recomputing the post-spread aggregate per consumer (the
+        // same recompute-beats-cache result d51 recorded in round 1;
+        // ReuseExchange shares the spread shuffle between the two tf
+        // consumers either way).
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("tf").desc, col("df").asc, col("term").asc)
