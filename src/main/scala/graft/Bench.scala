@@ -907,9 +907,11 @@ object Bench {
     val mode = sys.env.getOrElse("GRAFT_BENCH_MODE", "both")
     require(Set("ordered", "unordered", "both")(mode),
       s"GRAFT_BENCH_MODE must be ordered|unordered|both, got '$mode'")
-    // EngineConf.tuned: engine-level perf settings (adaptive-coalescing
-    // floor) — changes stage widths only, never what a query computes or
-    // how it is timed; see EngineConf's scaladoc for the scale analysis.
+    // EngineConf.tuned: applies NOTHING by default (the r21 session-wide
+    // AQE coalescing floor was reverted; Tables.spread's explicit
+    // partition count is the sole active widening mechanism). It only
+    // forwards the SPARK_GRAFT_MIN_PARTITION_SIZE env escape hatch —
+    // stage widths only, never what a query computes or how it is timed.
     val spark = EngineConf.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)

@@ -61,8 +61,14 @@ object BroadcastGuard {
     // itself) rather than left allowlisted but unauditable.
 
   /** Offending broadcast hints in `df`'s optimized plan: one description
-    * per broadcast-strategy join hint whose hinted side reads a
-    * fact/corpus table with no structural bound ([[boundedPlan]]) between.
+    * per broadcast-strategy join hint whose hinted side either (a) reads a
+    * fact/corpus table with no structural bound ([[boundedPlan]]) between,
+    * or (b) contains a lineage-cut node (LogicalRDD — a checkpoint /
+    * `Tables.pin`) with no bound above it, which makes the fact-lineage
+    * audit IMPOSSIBLE: the scan the frame derives from is invisible, so
+    * the hint is flagged as unauditable instead of passing silently (the
+    * r21 ADVICE blind spot — d56's hint evaded this guard exactly that
+    * way and was removed by convention only).
     * Empty result = the plan passes the guard. Plan-only — never executes
     * the query. */
   def forcedUnboundedBroadcasts(df: DataFrame): Seq[String] = {
@@ -71,10 +77,17 @@ object BroadcastGuard {
       Seq(("left", j.hint.leftHint, j.left), ("right", j.hint.rightHint, j.right))
         .collect {
           case (pos, Some(h), side)
-              if h.strategy.contains(BROADCAST) &&
-                 factReads(side).nonEmpty && !boundedPlan(side) =>
-            s"forced broadcast on $pos side reading " +
-              s"[${factReads(side).mkString(",")}] (${side.nodeName}, no structural bound)"
+              if h.strategy.contains(BROADCAST) && !boundedPlan(side) &&
+                 (factReads(side).nonEmpty || cutLineage(side)) =>
+            if (factReads(side).nonEmpty)
+              s"forced broadcast on $pos side reading " +
+                s"[${factReads(side).mkString(",")}] (${side.nodeName}, no structural bound)"
+            else
+              s"UNAUDITABLE forced broadcast on $pos side: the hinted side " +
+                "contains a LogicalRDD (checkpoint/pin) node, so its table " +
+                "lineage is cut and the fact-lineage audit cannot run — " +
+                "remove the hint (AQE broadcasts small sides by itself) or " +
+                "hint above an un-pinned frame"
         }
     }.flatten
   }
@@ -100,6 +113,15 @@ object BroadcastGuard {
       }
       case _ => Nil
     }.distinct
+
+  /** Lineage-cut nodes under `p`: a checkpointed frame surfaces as a
+    * LogicalRDD leaf, behind which no table scan is visible — so a
+    * broadcast hint over it can never be cleared by [[factReads]]. */
+  private def cutLineage(p: LogicalPlan): Boolean =
+    p.collectLeaves().exists {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
 
   /** A structural bound between the fact scan and the hinted join: a
     * LIMIT, or a grand-total aggregate (one output row). Filters and

@@ -514,12 +514,15 @@ object DedupQueries {
     // hash aggregate, the block is an equality join: no all-pairs, same
     // 100 TB shape as d51/d53. Verification is the exact SortedOverlap
     // merge scan; the better direction's containment is reported.
-    // Cost profile (warm, sf0.1, noop sink): shingle arrays 0.34s; + the
-    // posting-level df aggregate 2.7s; full query 3.9s. The df aggregate
-    // over exploded postings IS the dominant cost and is inherent to
-    // rarity blocking — d51/d53 are faster only because map-side MinHash
-    // signatures never materialize postings. Partial (map-side) agg is
-    // already active; don't re-litigate caching (see d51 note above).
+    // Cost profile (warm, sf0.1, noop sink, pre-r21): shingle arrays
+    // 0.34s; + the posting-level df aggregate 2.7s; full query 3.9s. The
+    // df aggregate over exploded postings IS the dominant cost and is
+    // inherent to rarity blocking — d51/d53 are faster only because
+    // map-side MinHash signatures never materialize postings. Partial
+    // (map-side) agg is active. r21 pinned the shingle arrays and spread
+    // the scan (3.9 -> ~1.4s); r22 pins the rare-posting frame too — the
+    // optimized plan still carried FOUR copies of the df aggregate, one
+    // per consumer branch (see rex below).
     // Adjudicated (round 11): one bench round's ordered samples hit
     // 7.4/10.3/12.5s against an unchanged plan — two immediately
     // subsequent runs (BENCH_HISTORY.jsonl 2026-08-13T02:55/02:59Z)
@@ -553,7 +556,18 @@ object DedupQueries {
         // both sides by their own min would lose pairs where B carries
         // extra rare shingles below A's min.) Candidates are bounded by
         // docs x MAXDF.
-        val rex = ex.join(rare.select("h"), Seq("h"))
+        //
+        // r22: rex KEEPS the df column and is pinned. Its three consumers
+        // (hmin, the candidate probe, the ids superset) each re-derived
+        // the whole explode + posting-level df aggregate — the measured
+        // dominant cost of this query — because per-branch pushdown makes
+        // the subtrees canonically distinct (the optimized plan carried
+        // FOUR copies of the aggregate). Pinning materializes postings
+        // once; carrying df turns the ids join below into a plain filter.
+        // Size discipline: rex is bounded by postings with df <= MAXDF
+        // (≤ corpus postings), consumed 3x — the pin-pays-for-reuse shape
+        // (unlike t45's once-per-consumer tf, where recompute won).
+        val rex = pin(ex.join(rare, Seq("h")))
         val hmin = rex.groupBy("doc_id").agg(min("h").as("h"))
         val cand = hmin.as("x").join(rex.as("y"),
             col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
@@ -563,10 +577,9 @@ object DedupQueries {
           .repartition(col("doc_a"), col("doc_b"))
         // attachSets id superset: docs holding a rare shingle shared by
         // >= 2 docs (any doc in a candidate pair shares its blocking
-        // shingle, so it qualifies); reuses the df aggregate
-        val ids = rex.join(rare.filter(col("df") >= 2).select("h"),
-                           Seq("h"), "left_semi")
-          .select("doc_id")
+        // shingle, so it qualifies). df rides on rex, so this is a
+        // filter, not a second join against the df aggregate (r22).
+        val ids = rex.filter(col("df") >= 2).select("doc_id")
         attachSets(cand, arr, ids)
           .withColumn("inter", SortedOverlap(col("sha"), col("shb")))
           .withColumn("containment",

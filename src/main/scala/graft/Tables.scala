@@ -131,6 +131,14 @@ object Tables {
     * identity; results are identical either way (hash partitioning only
     * relocates rows). The partition count is left to
     * `spark.sql.shuffle.partitions` + AQE coalescing, never a constant.
+    *
+    * Keep spread RESTRICTED to measured CPU-dense call sites (seconds of
+    * per-row work sitting on the scan: shingle+md5 pipelines, decimal
+    * aggregation over every fact row, percentile partials). On a real
+    * cluster, any table with fewer splits than total cores pays the full
+    * repartition shuffle here — pure overhead when the per-row work is
+    * cheap (the r21 A/B campaign measured t44 ~2.7x / t46 ~2x WORSE
+    * spread; those call sites were reverted and must stay unspread).
     */
   def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
@@ -142,7 +150,24 @@ object Tables {
     // never a constant. Everything NOT spread keeps stock AQE behavior —
     // an earlier session-wide coalescing-floor override widened every
     // cheap aggregate's post-shuffle stage too and measurably hurt them.
-    if (df.rdd.getNumPartitions < want) df.repartition(want, keys: _*) else df
+    if (plannedParallelism(df) < want) df.repartition(want, keys: _*) else df
+  }
+
+  /** The frame's planned scan parallelism, read from the physical plan's
+    * `FileSourceScanExec` split count — NOT from `df.rdd`, which builds a
+    * whole second QueryExecution (a DeserializeToObject wrapper over the
+    * plan) plus the full executed-plan RDD chain, all thrown away after
+    * the read (r21 ADVICE). Every spread call site passes a bare table
+    * scan, so the scan's split count IS the frame's parallelism; the
+    * `toRdd` fallback (same planning, no deserializer re-plan) covers any
+    * future non-scan caller. Plan-only either way: no job runs. */
+  private def plannedParallelism(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.inputRDD.getNumPartitions
+    }
+    if (scans.nonEmpty) scans.sum
+    else df.queryExecution.toRdd.getNumPartitions
   }
 
   /** Lazy within-query materialization of a multiply-consumed derived

@@ -90,25 +90,47 @@ object ConnectedComponents {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct().localCheckpoint(false)
     var curFp = fingerprint(cur)
-    // Right-size the edge frame for the loop (r21): each round is ~4
-    // shuffles plus a fingerprint job over the CHECKPOINTED partitions,
-    // so a near-dup edge set of a few hundred rows spread over dozens
-    // of partitions pays task scheduling, not compute, on every stage
-    // of every round. The fingerprint already counted the edges — use
-    // it: pack ~10k edges per partition, capped at the session's
-    // parallelism. coalesce() on the materialized frame is narrow (no
-    // shuffle); at 100 TB edge volume the computed width saturates the
-    // cluster and this is a no-op.
+    // Right-size the edge frame for the loop (r21, extended to every
+    // round in r22): each iteration's first stages read the CHECKPOINTED
+    // partitions, so a near-dup edge set of a few hundred rows spread
+    // over dozens of partitions pays task scheduling, not compute, on
+    // every stage of every round. The fingerprint already counted the
+    // edges — use it: pack ~10k edges per partition, capped at the
+    // session's parallelism. coalesce() on the materialized frame is
+    // narrow (no shuffle, no re-checkpoint — re-reading costs
+    // block-manager reads only); at 100 TB edge volume the computed
+    // width saturates the cluster and this is a no-op. Applied to the
+    // initial frame AND to every round's `next` (r21 only right-sized
+    // the entry frame, so the loop body kept rebuilding `next` at full
+    // shuffle width — the r21 ADVICE item).
     val para = edges0.sparkSession.sparkContext.defaultParallelism
-    val parts = math.max(1L, math.min(curFp._1 / 10000L + 1L, para.toLong)).toInt
-    // (no re-checkpoint: coalesce over materialized blocks is narrow,
-    // so re-reading it per round costs block-manager reads only)
-    if (curFp._1 > 0 && parts < cur.rdd.getNumPartitions)
-      cur = cur.coalesce(parts)
+    def rightsize(df: DataFrame, edgeCount: Long): DataFrame = {
+      val parts = math.max(1L, math.min(edgeCount / 10000L + 1L, para.toLong)).toInt
+      // .rdd here is cheap: the frame is a materialized localCheckpoint,
+      // so its plan is a bare LogicalRDD (nothing like the throwaway
+      // full-plan RDD Tables.spread used to build).
+      if (edgeCount > 0 && parts < df.rdd.getNumPartitions) df.coalesce(parts)
+      else df
+    }
+    cur = rightsize(cur, curFp._1)
     var rounds = 0
     var converged = curFp._1 == 0
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      // TWO alternating rounds per checkpoint/fingerprint (r22): the
+      // loop was scheduling-latency-bound at small edge volumes (~1
+      // fingerprint job + 1 checkpoint materialization per round), and
+      // the convergence argument only needs SOME subsequence of stable
+      // fingerprints — once the fixed point is reached every later
+      // frame is identical, so sampling every second round still
+      // terminates, halving the sequential job round-trips. Cost: at
+      // most one wasted star pass when convergence lands mid-iteration.
+      // A fingerprint match still never declares convergence by itself
+      // (exact set-equality confirm below), and assertStarForest guards
+      // the final frame, so a periodic-orbit false positive (sets equal
+      // two rounds apart without being a fixed point) cannot ship
+      // labels: a non-star-forest frame fails loudly there.
+      val next = smallStar(largeStar(smallStar(largeStar(cur))))
+        .localCheckpoint(false)
       val nextFp = fingerprint(next) // materializes the checkpoint
       if (nextFp == curFp) {
         // fingerprints stable → confirm exactly, once: both sides are
@@ -116,9 +138,9 @@ object ConnectedComponents {
         // nothing. If a hash collision lied, this fails and we iterate on.
         converged = cur.union(next).distinct().count() == curFp._1
       }
-      cur = next
+      cur = rightsize(next, nextFp._1)
       curFp = nextFp
-      rounds += 1
+      rounds += 2
     }
     if (!converged)
       throw new IllegalStateException(

@@ -54,6 +54,30 @@ class BroadcastGuardSpec extends SparkSpec {
     assert(BroadcastGuard.broadcastHintCount(bad) == 1)
   }
 
+  test("a broadcast hint over a lineage-cut (pinned) frame is flagged unauditable") {
+    // The r21 ADVICE blind spot: Tables.pin (localCheckpoint) truncates
+    // lineage to a LogicalRDD, so a fact-derived side hinted AFTER a pin
+    // used to sail through the fact-lineage audit silently (d56's shape).
+    // The guard must now fail loudly on any hint it cannot audit.
+    val pinned = Tables.pin(Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey"))
+    val q = Tables.lineitem(spark, sf)
+      .join(broadcast(pinned), col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val offs = BroadcastGuard.forcedUnboundedBroadcasts(q)
+    assert(offs.nonEmpty, "guard passed an unauditable pinned-side broadcast hint silently")
+    assert(offs.head.contains("UNAUDITABLE"), s"should be flagged unauditable: $offs")
+  }
+
+  test("a structural bound above the pinned frame still clears the hint") {
+    // Limit above the LogicalRDD bounds whatever the checkpoint holds, so
+    // the hint is auditable as bounded — same rule as un-pinned sides.
+    val pinnedLimited = Tables.pin(Tables.orders(spark, sf)
+      .select("o_orderkey")).limit(10)
+    val q = Tables.lineitem(spark, sf)
+      .join(broadcast(pinnedLimited), col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(BroadcastGuard.forcedUnboundedBroadcasts(q).isEmpty)
+  }
+
   test("guard accepts structurally bounded broadcasts (limit, scalar agg)") {
     val li = Tables.lineitem(spark, sf)
     // LIMIT-bounded side: fine at any scale.

@@ -176,6 +176,32 @@ class TablesSpec extends SparkSpec with BeforeAndAfterAll {
     assert(e.getMessage.contains("plain INT64"))
   }
 
+  test("spread widens a starved single-file scan to the session parallelism") {
+    // The r21/r22 contract: single-row-group parquet plans a ONE-task
+    // scan; spread must detect that from the PLANNED split count (r22:
+    // read from FileSourceScanExec, no throwaway .rdd QueryExecution)
+    // and hash-repartition to the session's default parallelism.
+    val dir = tmp("spread-starved")
+    spark.range(500).toDF("id").coalesce(1).write.parquet(s"$dir/t.parquet")
+    val df = spark.read.parquet(s"$dir/t.parquet")
+    assert(df.rdd.getNumPartitions === 1, "fixture must plan a starved scan")
+    val sp = Tables.spread(df, col("id"))
+    assert(sp ne df, "starved scan must be repartitioned")
+    assert(sp.rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
+    // results identical: hash partitioning only relocates rows
+    assert(sp.count() === 500)
+  }
+
+  test("spread is the identity on an already-wide frame (the cluster-scale shape)") {
+    // A frame whose planned parallelism meets the session's must pass
+    // through untouched — at 100 TB every scan is wide, so spread must
+    // never add a shuffle there. This one exercises the non-scan
+    // fallback path (toRdd) too, since the input is not a bare scan.
+    val wide = spark.range(100).toDF("id")
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+    assert(Tables.spread(wide, col("id")) eq wide)
+  }
+
   test("an unrecognized ts type fails loudly instead of mis-deriving ts_us") {
     val dir = tmp("bad")
     spark.range(1).select(lit("2020-01-01").as("ts"), lit(7L).as("user_id"))
