@@ -310,23 +310,27 @@ object AdvancedQueries {
           explode(col("ga")).as("g"))
         val bench = grams.filter(col("source") === "src0").select("g").distinct()
         val train = grams.filter(col("source") =!= "src0")
-        val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        // ONE pass over the training grams (r22): the r21 form scanned
+        // `train` twice (totals groupBy + the semi-join hit count) and
+        // re-joined the two aggregates on doc_id. A LEFT join against
+        // the DISTINCT bench set preserves train's row count exactly
+        // (each gram matches at most one bench row), so one aggregate
+        // computes both: n_grams = count(*), n_hit = count of matched
+        // rows — bit-identical to the semi-join count, docs with zero
+        // hits get 0 from count() instead of the old coalesce.
         // No broadcast hint (r21): the bench gram set is fixed-size by
         // definition (eval corpora don't grow with training data), so
-        // AQE's runtime size check picks the broadcast semi join on its
+        // AQE's runtime size check picks the broadcast join on its
         // own at ANY corpus scale — and since `bench` now derives from
         // the pinned gram frame (lineage cut at the checkpoint), an
         // explicit hint would sit outside BroadcastGuard's fact-lineage
         // audit. Unhinted is both the house style and the auditable form.
-        val hits = train.join(bench, Seq("g"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-        val out = totals.join(hits, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_grams"),
-            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-            (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
-              .as("contamination"))
+        train.join(bench.withColumn("hit", lit(1)), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+          .select(col("doc_id"), col("n_grams"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_grams")).as("contamination"))
           .orderBy("doc_id")
-        out
       },
       Some(s"""
         WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
@@ -535,24 +539,23 @@ object AdvancedQueries {
         // df DERIVED from tf (r21): a term's document frequency is
         // exactly its row count in the (doc_id, term) tf aggregate, so
         // the former second tokenize+explode pass and its (doc_id, term)
-        // DISTINCT exchange are gone. tf is deliberately NOT pinned:
-        // unlike the dedup signature frames it is corpus-sized (one row
-        // per (doc, distinct term) — ~400k rows at sf0.1), and
-        // materializing it through the block manager measured SLOWER
-        // than recomputing the post-spread aggregate per consumer (the
-        // same recompute-beats-cache result d51 recorded in round 1;
-        // ReuseExchange shares the spread shuffle between the two tf
-        // consumers either way).
+        // DISTINCT exchange are gone.
         val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // df as a WINDOW over tf, not a groupBy + self-join (r22): the
+        // r21 form consumed tf twice (join input + the dfreq aggregate),
+        // and per-branch pushdown re-derived the whole tokenize+tf
+        // subtree per consumer — 2x the corpus tokenize CPU (pinning tf
+        // was tried in r21 and measured slower: it is corpus-sized,
+        // once-per-consumer, the recompute-beats-cache shape).
+        // count(*) OVER (PARTITION BY term) on tf rows IS each term's
+        // document frequency (tf has one row per (doc, term)), and the
+        // window's term exchange replaces the join's — same shuffle
+        // count, half the tokenize+aggregate work, no Heaps'-law
+        // broadcast question left at all (nothing is ever broadcast).
+        val wdf = Window.partitionBy("term")
         val w = Window.partitionBy("doc_id")
           .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-        // No broadcast hint on `dfreq`: vocabulary grows with the corpus
-        // (Heaps' law — billions of distinct tokens on 100 TB of web
-        // text), so a forced broadcast OOMs at scale. Both sides are
-        // already term-keyed aggregates; AQE broadcasts only if the
-        // measured df table fits, else this is a same-key shuffle join.
-        tf.join(dfreq, Seq("term"))
+        tf.withColumn("df", count(lit(1)).over(wdf))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select("doc_id", "term", "tf", "df")

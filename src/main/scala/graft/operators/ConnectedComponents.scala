@@ -116,22 +116,29 @@ object ConnectedComponents {
     var rounds = 0
     var converged = curFp._1 == 0
     while (!converged && rounds < maxIter) {
-      // TWO alternating rounds per checkpoint/fingerprint (r22): the
-      // loop was scheduling-latency-bound at small edge volumes (~1
-      // fingerprint job + 1 checkpoint materialization per round), and
-      // the convergence argument only needs SOME subsequence of stable
-      // fingerprints — once the fixed point is reached every later
-      // frame is identical, so sampling every second round still
-      // terminates, halving the sequential job round-trips. Cost: at
-      // most one wasted star pass when convergence lands mid-iteration.
+      // TWO alternating rounds per fingerprint job (r22): the loop was
+      // scheduling-latency-bound at small edge volumes (one fingerprint
+      // job per round), and the convergence argument only needs SOME
+      // subsequence of stable fingerprints — once the fixed point is
+      // reached every later frame is identical, so sampling every
+      // second round still terminates, halving the sequential job
+      // round-trips. Cost: at most one wasted star pass when
+      // convergence lands mid-iteration. The midpoint frame is STILL
+      // lazily checkpointed: a round references its input ~4x (both
+      // nbrs branches + the mins join), so fusing two rounds without
+      // materializing between re-derives round 1 per branch — measured
+      // 1.4-1.6x SLOWER on d55/d59 before this checkpoint was added
+      // (the same per-branch recompute amplification the dedup
+      // signature pins exist for). Both checkpoints materialize inside
+      // the one fingerprint job.
       // A fingerprint match still never declares convergence by itself
       // (exact set-equality confirm below), and assertStarForest guards
       // the final frame, so a periodic-orbit false positive (sets equal
       // two rounds apart without being a fixed point) cannot ship
       // labels: a non-star-forest frame fails loudly there.
-      val next = smallStar(largeStar(smallStar(largeStar(cur))))
-        .localCheckpoint(false)
-      val nextFp = fingerprint(next) // materializes the checkpoint
+      val mid = smallStar(largeStar(cur)).localCheckpoint(false)
+      val next = smallStar(largeStar(mid)).localCheckpoint(false)
+      val nextFp = fingerprint(next) // materializes both checkpoints
       if (nextFp == curFp) {
         // fingerprints stable → confirm exactly, once: both sides are
         // distinct sets, so equality = same size and their union adds

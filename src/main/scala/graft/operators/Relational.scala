@@ -130,7 +130,18 @@ object Relational {
 
   /** Recap/summary report — the reference's "REKAPITULASI" row-count block
     * (01_TestingPy/Spotify_API3.py:424-429) as a DataFrame: one row per
-    * table with its count. Counts are computed distributed and unioned.
+    * table with its count (0 for an empty table). Counts are computed
+    * distributed and unioned.
+    *
+    * Shape note (r22): a single-exchange alternative (union the name
+    * projections, one keyed aggregate, left-join the name list back for
+    * empty tables) was built and measured ~25% SLOWER at sf0.1 — the ten
+    * single-row count-merge Exchanges here are trivial, and the
+    * alternative's broadcast-join stage costs more than it saves. The
+    * ten per-table count stages are independent, so the DAG scheduler
+    * already runs them concurrently inside the one union job; shuffled
+    * bytes are identical either way (one partial-count row per scan
+    * partition). Kept in this form deliberately.
     */
   def recap(tables: Seq[(String, DataFrame)]): DataFrame =
     unionAll(tables.map { case (name, df) =>

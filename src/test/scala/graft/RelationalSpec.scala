@@ -99,6 +99,16 @@ class RelationalSpec extends SparkSpec {
     assert(out === Seq(("one", 1L), ("p", 5L)))
   }
 
+  test("recap keeps a 0-count row for an empty table") {
+    // Pins the contract a keyed-aggregate restructure would silently
+    // break (a groupBy over unioned name projections drops empty
+    // tables); the r22 attempt at that shape was reverted on
+    // measurement, and this test keeps the contract explicit.
+    val out = recap(Seq("p" -> people, "none" -> people.filter(lit(false))))
+      .orderBy("table_name").as[(String, Long)].collect().toSeq
+    assert(out === Seq(("none", 0L), ("p", 5L)))
+  }
+
   test("saltedAgg equals the plain groupBy and spreads keys over salts") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "rare" else "hot", i.toLong))
       .toDF("k", "v")
