@@ -224,10 +224,18 @@ object DedupQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct() // a pair sharing several bands appears once; the
                   // distinct's hash exchange also spreads the cell join
-    val hot = cells.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select(keyCols.map(col): _*)
-    val ids = cells.join(hot, keyCols, "left_semi").select("doc_id")
+    // Non-singleton-cell docs via a count WINDOW over the cells (r22):
+    // the former groupBy + left-semi join paid an aggregate exchange
+    // plus a join exchange; the window needs ONE exchange on the same
+    // cell key, and since it projects the same cell frame the self-join
+    // shuffles anyway, the exchange subtree is shareable. Identical
+    // rows: count(*) over the cell partition > 1 selects exactly the
+    // docs in cells with >= 2 members (duplicates are fine — the
+    // attachSets restriction is a left-semi consumer).
+    val ids = cells
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col("n") > 1).select("doc_id")
     (cand, ids)
   }
 
@@ -381,13 +389,14 @@ object DedupQueries {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
         // attachSets id superset: docs in non-singleton band buckets
-        // (one occupancy agg on the band exchange the self-join shuffles
-        // anyway — not a recompute of the pair join)
-        val hot = bands.groupBy("band_id", "bkey")
-          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-          .select("band_id", "bkey")
-        val ids = bands.join(hot, Seq("band_id", "bkey"), "left_semi")
-          .select("doc_id")
+        // (a count window on the band exchange the self-join shuffles
+        // anyway — not a recompute of the pair join; r22: the window
+        // form replaces the former occupancy groupBy + left-semi join,
+        // one exchange instead of two, same rows — see candIdsOf)
+        val ids = bands
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("band_id", "bkey")))
+          .filter(col("n") > 1).select("doc_id")
         val out = attachSets(cand, arr, ids)
           // merge-scan intersection of the pre-sorted sets (codegen kernel;
           // equals size(array_intersect) exactly — see ArrayKernelsSpec)
